@@ -1,0 +1,181 @@
+"""Graph Transformer with Laplacian PE (std + optimized variants).
+
+Functional re-design of reference etpgt/model/graph_transformer.py:23-280:
+item emb (+ projected LapPE) -> num_layers x (TransformerConv(beta gate) ->
+BatchNorm -> additive residual -> dropout [-> FFN(GELU) -> residual]) ->
+session readout. Optimized factory defaults: layers=2, heads=2, use_ffn=False
+(graph_transformer.py:231-242).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from gat_recommendation_tpu.models import base
+from gat_recommendation_tpu.models.layers import init_transformer_conv, transformer_conv
+from gat_recommendation_tpu.ops.masked import dropout as dropout_fn
+from gat_recommendation_tpu.ops.masked import init_batch_norm, masked_batch_norm
+
+
+@dataclass(frozen=True)
+class GraphTransformerConfig:
+    num_items: int
+    embedding_dim: int = 256
+    hidden_dim: int = 256
+    num_layers: int = 3
+    num_heads: int = 4
+    dropout: float = 0.1
+    readout_type: str = "mean"
+    use_laplacian_pe: bool = True
+    laplacian_k: int = 16
+    use_ffn: bool = True
+    ffn_expansion: int = 4
+
+
+def init(rng: jax.Array, cfg: GraphTransformerConfig) -> tuple[dict, dict]:
+    keys = jax.random.split(rng, 4 + 3 * cfg.num_layers)
+    params: dict = {
+        "item_embedding": base.init_item_embedding(keys[0], cfg.num_items, cfg.embedding_dim),
+        "readout": base.init_readout(keys[1], cfg.hidden_dim, cfg.readout_type),
+        "convs": [],
+        "batch_norms": [],
+    }
+    state: dict = {"batch_norms": []}
+
+    if cfg.use_laplacian_pe:
+        params["lap_projection"] = base.xavier_linear_init(
+            keys[2], cfg.laplacian_k, cfg.embedding_dim
+        )
+        state["cached_pe"] = jnp.zeros((cfg.num_items, cfg.laplacian_k))
+
+    if cfg.use_ffn:
+        params["ffns"] = []
+
+    head_dim = cfg.hidden_dim // cfg.num_heads
+    in_dim = cfg.embedding_dim
+    for layer in range(cfg.num_layers):
+        kc, kf1, kf2 = keys[3 + 3 * layer : 6 + 3 * layer]
+        params["convs"].append(init_transformer_conv(kc, in_dim, head_dim, cfg.num_heads))
+        bn_p, bn_s = init_batch_norm(cfg.hidden_dim)
+        params["batch_norms"].append(bn_p)
+        state["batch_norms"].append(bn_s)
+        if cfg.use_ffn:
+            expanded = cfg.hidden_dim * cfg.ffn_expansion
+            params["ffns"].append(
+                {
+                    "up": base.torch_linear_init(kf1, cfg.hidden_dim, expanded),
+                    "down": base.torch_linear_init(kf2, expanded, cfg.hidden_dim),
+                }
+            )
+        in_dim = cfg.hidden_dim
+    return params, state
+
+
+def apply(
+    params: dict,
+    state: dict,
+    batch,
+    cfg: GraphTransformerConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> tuple[jax.Array, dict]:
+    """Forward pass. batch is a SessionBatch of device arrays.
+
+    Returns (session_embeddings [B, hidden_dim], new_state).
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    x = params["item_embedding"][batch.node_ids]  # [B, N, D]
+
+    if cfg.use_laplacian_pe:
+        pe = state["cached_pe"][batch.node_ids]  # [B, N, k]
+        x = x + base.linear(params["lap_projection"], pe)
+
+    new_state: dict = {"batch_norms": []}
+    if cfg.use_laplacian_pe:
+        new_state["cached_pe"] = state["cached_pe"]
+
+    for layer in range(cfg.num_layers):
+        rng, k_attn, k_drop, k_f1, k_f2 = jax.random.split(rng, 5)
+        residual = x
+        x = transformer_conv(
+            params["convs"][layer],
+            x,
+            batch.adj,
+            heads=cfg.num_heads,
+            dropout_rate=cfg.dropout,
+            train=train,
+            rng=k_attn,
+        )
+        x, bn_s = masked_batch_norm(
+            params["batch_norms"][layer], state["batch_norms"][layer], x, batch.node_mask, train
+        )
+        new_state["batch_norms"].append(bn_s)
+        x = x + residual
+        x = dropout_fn(k_drop, x, cfg.dropout, train)
+
+        if cfg.use_ffn:
+            residual = x
+            h = base.linear(params["ffns"][layer]["up"], x)
+            h = jax.nn.gelu(h, approximate=False)
+            h = dropout_fn(k_f1, h, cfg.dropout, train)
+            h = base.linear(params["ffns"][layer]["down"], h)
+            h = dropout_fn(k_f2, h, cfg.dropout, train)
+            x = h + residual
+
+    sess = base.apply_readout(
+        params["readout"], x, batch.node_mask, batch.num_nodes, cfg.readout_type
+    )
+    return sess, new_state
+
+
+def precompute_pe(state: dict, cfg: GraphTransformerConfig, item_i, item_j) -> dict:
+    """Host-side eigensolve -> fill state['cached_pe'] (reference precompute parity)."""
+    from gat_recommendation_tpu.models.laplacian_pe import compute_laplacian_pe
+
+    pe = compute_laplacian_pe(item_i, item_j, cfg.num_items, k=cfg.laplacian_k)
+    return {**state, "cached_pe": jnp.asarray(pe)}
+
+
+def create_graph_transformer(num_items: int, **kwargs) -> "Model":
+    """Factory (reference create_graph_transformer parity)."""
+    from gat_recommendation_tpu.models.registry import Model
+
+    cfg = GraphTransformerConfig(num_items=num_items, **kwargs)
+    return Model(name="graph_transformer", config=cfg, init=init, apply=apply)
+
+
+def create_graph_transformer_optimized(
+    num_items: int,
+    embedding_dim: int = 256,
+    hidden_dim: int = 256,
+    num_layers: int = 2,  # optimized: 3 -> 2
+    num_heads: int = 2,  # optimized: 4 -> 2
+    dropout: float = 0.1,
+    readout_type: str = "mean",
+    use_laplacian_pe: bool = True,
+    laplacian_k: int = 16,
+    use_ffn: bool = False,  # optimized: FFN off (the 29x win in the reference)
+    ffn_expansion: int = 2,
+) -> "Model":
+    """Optimized factory defaults (reference graph_transformer.py:231-242)."""
+    from gat_recommendation_tpu.models.registry import Model
+
+    cfg = GraphTransformerConfig(
+        num_items=num_items,
+        embedding_dim=embedding_dim,
+        hidden_dim=hidden_dim,
+        num_layers=num_layers,
+        num_heads=num_heads,
+        dropout=dropout,
+        readout_type=readout_type,
+        use_laplacian_pe=use_laplacian_pe,
+        laplacian_k=laplacian_k,
+        use_ffn=use_ffn,
+        ffn_expansion=ffn_expansion,
+    )
+    return Model(name="graph_transformer_optimized", config=cfg, init=init, apply=apply)

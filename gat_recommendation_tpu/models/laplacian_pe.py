@@ -1,0 +1,89 @@
+"""Laplacian positional encodings (host-side eigensolve, device-side gather).
+
+Re-design of reference etpgt/encodings/laplacian_pe.py:19-199. The reference
+computes k+1 smallest eigenvectors of the symmetric-normalized Laplacian with
+scipy ARPACK, drops the trivial one, takes abs() for sign invariance, and
+caches the matrix as a buffer indexed by node id at forward time.
+
+Deviations (documented):
+  * The reference feeds the *directed* canonical edge list to get_laplacian
+    and hands a non-symmetric matrix to eigsh (undefined ARPACK behavior). We
+    symmetrize the adjacency first — the co-occurrence graph is semantically
+    undirected (04_build_graph.py canonicalizes (min,max) pairs).
+  * The reference eigensolves over the full raw-id space (466k rows, ~384k
+    isolated vertices ⇒ an arbitrary null-space basis). We eigensolve the
+    connected subgraph and set PE of isolated ids to zero — deterministic and
+    mathematically meaningful, same array shape [num_items, k].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+def compute_laplacian_pe(
+    item_i: np.ndarray,
+    item_j: np.ndarray,
+    num_nodes: int,
+    k: int = 16,
+    normalization: str = "sym",
+) -> np.ndarray:
+    """Return PE matrix [num_nodes, k] (float32); rows of isolated ids are zero."""
+    src = np.asarray(item_i, dtype=np.int64)
+    dst = np.asarray(item_j, dtype=np.int64)
+
+    # Undirected binary adjacency (symmetrized, self-loops preserved once).
+    data = np.ones(len(src), dtype=np.float64)
+    A = sp.coo_matrix((data, (src, dst)), shape=(num_nodes, num_nodes)).tocsr()
+    A = A.maximum(A.T)
+    A.data[:] = 1.0
+
+    deg_full = np.asarray(A.sum(axis=1)).ravel()
+    connected = np.flatnonzero(deg_full > 0)
+    n = len(connected)
+    out = np.zeros((num_nodes, k), dtype=np.float32)
+    if n == 0:
+        return out
+
+    Ac = A[connected][:, connected]
+    deg = np.asarray(Ac.sum(axis=1)).ravel()
+
+    if normalization == "sym":
+        dinv_sqrt = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+        D = sp.diags(dinv_sqrt)
+        L = sp.identity(n) - D @ Ac @ D
+    elif normalization == "rw":
+        dinv = 1.0 / np.maximum(deg, 1e-12)
+        L = sp.identity(n) - sp.diags(dinv) @ Ac
+    else:
+        raise ValueError(f"Unknown normalization: {normalization}")
+
+    want = min(k + 1, n)
+    vecs = _smallest_eigenvectors(L.tocsc(), want, n)
+
+    # Drop the trivial eigenvector, abs for sign invariance (reference :60-64).
+    pe = np.abs(vecs[:, 1 : k + 1]).astype(np.float32)
+    out[connected, : pe.shape[1]] = pe
+    return out
+
+
+def _smallest_eigenvectors(L: sp.spmatrix, want: int, n: int) -> np.ndarray:
+    """Eigenvectors for the `want` smallest eigenvalues, ascending order."""
+    if want >= n or n < 64:
+        vals, vecs = np.linalg.eigh(L.toarray())
+        return vecs[:, :want]
+    try:
+        # Shift-invert around a slightly negative sigma: L + |sigma| I is SPD,
+        # so the factorization is stable and ARPACK converges on the smallest
+        # eigenvalues orders of magnitude faster than which='SM'.
+        vals, vecs = spla.eigsh(L, k=want, sigma=-0.05, which="LM")
+    except Exception:
+        try:
+            vals, vecs = spla.eigsh(L, k=want, which="SM")
+        except Exception:
+            vals, vecs = np.linalg.eigh(L.toarray())
+            vals, vecs = vals[:want], vecs[:, :want]
+    order = np.argsort(vals)
+    return vecs[:, order]

@@ -1,0 +1,235 @@
+"""Trainer: jitted train/eval steps, epoch loop, Orbax checkpoints, early stop.
+
+Re-design of reference etpgt/train/trainer.py:17-252 with the same training
+policy (AdamW, eval every N epochs on recall/ndcg@{10,20}, best/latest
+checkpoints, early stopping on recall@k_values[0] with patience) plus what the
+reference lacks: true resume from checkpoint (SURVEY.md §5).
+
+The hot path is a single jitted `train_step` per (batch_size, bucket) shape:
+forward -> loss -> grads -> AdamW update, with the embedding padding row's
+gradient zeroed (torch padding_idx parity, reference base.py:36).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict
+from pathlib import Path
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gat_recommendation_tpu.train.metrics import compute_ndcg_at_k, compute_recall_at_k
+from gat_recommendation_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def make_train_step(model, loss_fn, optimizer) -> Callable:
+    """Build the jitted training step.
+
+    (params, state, opt_state, batch, rng) -> (params, state, opt_state, loss)
+    """
+
+    def loss_and_state(params, state, batch, rng):
+        sess, new_state = model.apply(
+            params, state, batch, model.config, train=True, rng=rng
+        )
+        loss, aux = loss_fn(
+            sess, batch.targets, batch.negatives, params["item_embedding"], batch.sample_mask
+        )
+        return loss, (new_state, aux)
+
+    @jax.jit
+    def train_step(params, state, opt_state, batch, rng):
+        (loss, (new_state, _aux)), grads = jax.value_and_grad(loss_and_state, has_aux=True)(
+            params, state, batch, rng
+        )
+        # padding_idx parity: row 0 of the embedding table never updates.
+        grads["item_embedding"] = grads["item_embedding"].at[0].set(0.0)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(model, k: int) -> Callable:
+    """(params, state, batch) -> top-k item ids [B, k] (full-catalog scoring)."""
+
+    @jax.jit
+    def eval_step(params, state, batch):
+        sess, _ = model.apply(params, state, batch, model.config, train=False)
+        scores = jnp.dot(
+            sess, params["item_embedding"].T, preferred_element_type=jnp.float32
+        )
+        _, top_idx = jax.lax.top_k(scores, k)
+        return top_idx
+
+    return eval_step
+
+
+class Trainer:
+    """Epoch-loop trainer over bucketed SessionBatch streams."""
+
+    def __init__(
+        self,
+        model,
+        train_batches: Callable[[int], Iterable],  # epoch -> iterator of SessionBatch
+        val_batches: Callable[[], Iterable],
+        optimizer=None,
+        output_dir: str | Path = "outputs",
+        max_epochs: int = 100,
+        patience: int = 10,
+        eval_every: int = 1,
+        k_values: list[int] | None = None,
+        loss_fn=None,
+        seed: int = 42,
+    ):
+        from gat_recommendation_tpu.train.losses import bpr_loss
+
+        self.model = model
+        self.train_batches = train_batches
+        self.val_batches = val_batches
+        self.optimizer = optimizer or optax.adamw(1e-3, weight_decay=1e-5)
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.max_epochs = max_epochs
+        self.patience = patience
+        self.eval_every = eval_every
+        self.k_values = k_values if k_values is not None else [10, 20]
+        self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
+        self.seed = seed
+
+        self.current_epoch = 0
+        self.best_val_metric = 0.0
+        self.patience_counter = 0
+        self.history: dict = {"train_loss": [], "val_metrics": []}
+
+        self._train_step = make_train_step(self.model, self.loss_fn, self.optimizer)
+        self._eval_step = make_eval_step(self.model, max(self.k_values))
+
+    # -- initialization / resume ------------------------------------------
+
+    def init_state(self, rng=None):
+        rng = rng if rng is not None else jax.random.key(self.seed)
+        params, state = self.model.init_params(rng)
+        opt_state = self.optimizer.init(params)
+        return params, state, opt_state
+
+    # -- epoch work --------------------------------------------------------
+
+    def train_epoch(self, params, state, opt_state) -> tuple:
+        total, num = 0.0, 0
+        root = jax.random.key(self.seed)
+        epoch_rng = jax.random.fold_in(root, self.current_epoch)
+        for step, batch in enumerate(self.train_batches(self.current_epoch)):
+            from gat_recommendation_tpu.data.batching import to_device
+
+            dbatch = to_device(batch)
+            rng = jax.random.fold_in(epoch_rng, step)
+            params, state, opt_state, loss = self._train_step(
+                params, state, opt_state, dbatch, rng
+            )
+            total += float(loss)
+            num += 1
+        return params, state, opt_state, total / max(num, 1)
+
+    def evaluate(self, params, state) -> dict:
+        preds, targets = [], []
+        for batch in self.val_batches():
+            from gat_recommendation_tpu.data.batching import to_device
+
+            top = np.asarray(self._eval_step(params, state, to_device(batch)))
+            mask = np.asarray(batch.sample_mask)
+            preds.append(top[mask])
+            targets.append(np.asarray(batch.targets)[mask])
+        predictions = np.concatenate(preds) if preds else np.zeros((0, max(self.k_values)), int)
+        targets_arr = np.concatenate(targets) if targets else np.zeros((0,), int)
+
+        metrics = {}
+        for k in self.k_values:
+            metrics[f"recall@{k}"] = compute_recall_at_k(predictions, targets_arr, k)
+            metrics[f"ndcg@{k}"] = compute_ndcg_at_k(predictions, targets_arr, k)
+        return metrics
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, params, state, opt_state, is_best: bool = False) -> None:
+        from gat_recommendation_tpu.train import checkpoint as ckpt
+
+        meta = {
+            "epoch": self.current_epoch,
+            "best_val_metric": self.best_val_metric,
+            "history": self.history,
+            "model_name": self.model.name,
+            "model_config": asdict(self.model.config),
+        }
+        ckpt.save(self.output_dir / "checkpoint_latest", params, state, opt_state, meta)
+        if is_best:
+            ckpt.save(self.output_dir / "checkpoint_best", params, state, opt_state, meta)
+
+    def load_checkpoint(self, which: str = "latest"):
+        """Resume support (absent in the reference). Returns (params, state, opt_state)."""
+        from gat_recommendation_tpu.train import checkpoint as ckpt
+
+        template = self.init_state()
+        params, state, opt_state, meta = ckpt.restore(
+            self.output_dir / f"checkpoint_{which}", *template
+        )
+        self.current_epoch = meta["epoch"] + 1
+        self.best_val_metric = meta["best_val_metric"]
+        self.history = meta["history"]
+        return params, state, opt_state
+
+    # -- main loop ---------------------------------------------------------
+
+    def train(self, params=None, state=None, opt_state=None, resume: bool = False) -> dict:
+        if resume:
+            params, state, opt_state = self.load_checkpoint("latest")
+        if params is None:
+            params, state, opt_state = self.init_state()
+
+        start_epoch = self.current_epoch
+        logger.info(f"Training {self.model.name} for up to {self.max_epochs} epochs")
+
+        for epoch in range(start_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            t0 = time.perf_counter()
+            params, state, opt_state, train_loss = self.train_epoch(params, state, opt_state)
+            self.history["train_loss"].append(train_loss)
+            logger.info(
+                f"Epoch {epoch}: train_loss={train_loss:.4f} "
+                f"({time.perf_counter() - t0:.1f}s)"
+            )
+
+            if (epoch + 1) % self.eval_every == 0:
+                val_metrics = self.evaluate(params, state)
+                self.history["val_metrics"].append(val_metrics)
+                logger.info(
+                    "Epoch %d: %s"
+                    % (epoch, ", ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
+                )
+
+                val_metric = val_metrics[f"recall@{self.k_values[0]}"]
+                is_best = val_metric > self.best_val_metric
+                if is_best:
+                    self.best_val_metric = val_metric
+                    self.patience_counter = 0
+                else:
+                    self.patience_counter += 1
+
+                self.save_checkpoint(params, state, opt_state, is_best=is_best)
+
+                if self.patience_counter >= self.patience:
+                    logger.info(f"Early stopping at epoch {epoch}")
+                    break
+
+        with open(self.output_dir / "history.json", "w") as f:
+            json.dump(self.history, f, indent=2)
+        self._final = (params, state, opt_state)
+        return self.history

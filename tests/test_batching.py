@@ -1,0 +1,129 @@
+"""Batching layer tests: CSR induction vs brute force, collate shapes, buckets."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gat_recommendation_tpu.data.batching import (
+    DEFAULT_BUCKETS,
+    SessionDataset,
+    build_csr,
+    collate,
+    induced_edges,
+    iterate_batches,
+    pick_bucket,
+    sample_negatives,
+)
+
+
+def brute_force_induced(item_i, item_j, nodes):
+    nodeset = {int(n): k for k, n in enumerate(nodes)}
+    out = [
+        (nodeset[int(a)], nodeset[int(b)])
+        for a, b in zip(item_i, item_j)
+        if int(a) in nodeset and int(b) in nodeset
+    ]
+    return sorted(out)
+
+
+def test_induced_edges_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    item_i = rng.integers(0, 50, 300)
+    item_j = rng.integers(0, 50, 300)
+    graph = build_csr(item_i, item_j, 50)
+    for _ in range(10):
+        nodes = np.unique(rng.integers(0, 50, 8))
+        src, dst = induced_edges(graph, nodes)
+        got = sorted(zip(src.tolist(), dst.tolist()))
+        assert got == brute_force_induced(item_i, item_j, nodes)
+
+
+def test_induced_edges_empty():
+    graph = build_csr(np.array([1]), np.array([2]), 10)
+    src, dst = induced_edges(graph, np.array([5, 7]))
+    assert len(src) == 0 and len(dst) == 0
+
+
+def test_sample_negatives_excludes_session():
+    rng = np.random.default_rng(0)
+    exclude = set(range(1, 90))
+    negs = sample_negatives(rng, exclude, 100, 5)
+    assert len(negs) == 5
+    assert not set(negs.tolist()) & exclude
+    assert (negs >= 1).all() and (negs < 100).all()
+
+
+def test_pick_bucket():
+    assert pick_bucket(3, DEFAULT_BUCKETS) == 8
+    assert pick_bucket(8, DEFAULT_BUCKETS) == 8
+    assert pick_bucket(9, DEFAULT_BUCKETS) == 16
+    assert pick_bucket(100, DEFAULT_BUCKETS) == 56
+
+
+def _make_dataset(num_sessions=30, num_items=40, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(num_sessions):
+        length = rng.integers(3, 10)
+        items = rng.integers(1, num_items, length)
+        for t, item in enumerate(items):
+            rows.append(("sess_%d" % s, t * 1000, int(item)))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    item_i = rng.integers(1, num_items, 100)
+    item_j = rng.integers(1, num_items, 100)
+    return SessionDataset(df, (item_i, item_j), num_negatives=5)
+
+
+def test_dataset_sample_semantics():
+    ds = _make_dataset()
+    rng = np.random.default_rng(1)
+    s = ds.sample(0, rng)
+    full = ds.session_items(0)
+    assert s["target"] == full[-1]
+    np.testing.assert_array_equal(s["nodes"], np.unique(full[:-1]))
+    assert not set(s["negatives"].tolist()) & set(full.tolist())
+
+
+def test_collate_adjacency_layout(dummy_batch):
+    b = dummy_batch
+    assert b.node_ids.shape == (2, 8)
+    assert b.adj.shape == (2, 8, 8)
+    # Session 1 edge 1->2 local (0 -> 1): adj[dst=1, src=0].
+    assert b.adj[0, 1, 0] and b.adj[0, 0, 1]
+    assert not b.adj[0, 0, 0]
+    assert b.num_nodes.tolist() == [3, 4]
+    assert b.sample_mask.all()
+    # No edges touch padding slots.
+    assert not b.adj[0, 3:, :].any() and not b.adj[0, :, 3:].any()
+
+
+def test_collate_padded_sample():
+    batch = collate([None, None], 8, 5)
+    assert not batch.sample_mask.any()
+    assert batch.adj.sum() == 0
+
+
+def test_iterate_batches_covers_epoch():
+    ds = _make_dataset()
+    seen = 0
+    for batch in iterate_batches(ds, batch_size=4, shuffle=True, seed=0):
+        assert batch.node_ids.shape[0] == 4
+        assert batch.nodes_per_session in DEFAULT_BUCKETS
+        seen += int(batch.sample_mask.sum())
+    assert seen == len(ds)
+
+
+def test_iterate_batches_deterministic():
+    ds = _make_dataset()
+    a = [b.targets[b.sample_mask].tolist() for b in iterate_batches(ds, 4, seed=5)]
+    b = [b.targets[b.sample_mask].tolist() for b in iterate_batches(ds, 4, seed=5)]
+    assert a == b
+
+
+def test_truncation_to_max_length():
+    rows = [("s", t, t % 7 + 1) for t in range(80)]
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    ds = SessionDataset(df, (np.array([1]), np.array([2])), max_session_length=50)
+    items = ds.session_items(0)
+    assert len(items) == 50
+    assert items[0] == 30 % 7 + 1  # kept the LAST 50 events
