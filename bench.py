@@ -1,0 +1,116 @@
+"""Benchmark: training throughput (sessions/sec/chip) of the flagship model.
+
+Runs on whatever backend JAX selects (the driver runs it on one real TPU
+chip). Reference baseline: the optimized Graph Transformer trains one epoch of
+120,436 RetailRocket sessions in ~27 min on an NVIDIA L4 (BASELINE.md) =
+74.3 sessions/sec. vs_baseline = ours / 74.3.
+
+Configuration mirrors the reference's production run: 466,865-item catalog,
+256-dim embeddings, 2-layer 2-head FFN-free Graph Transformer with LapPE,
+dual loss, AdamW. Session sizes follow a RetailRocket-like length mix across
+node buckets. Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SESSIONS_PER_SEC = 120_436 / (27 * 60)  # reference: 27 min/epoch on L4
+
+
+def make_batches(num_items: int, batch_size: int, num_batches: int, seed: int = 0):
+    """Synthetic bucketed batches with a RetailRocket-like session-size mix."""
+    from gat_recommendation_tpu.data.batching import collate
+
+    rng = np.random.default_rng(seed)
+    batches = []
+    # Bucket mix approximating the RetailRocket unique-node distribution
+    # (mean session length ~8 events, heavy small-session skew).
+    bucket_probs = {8: 0.70, 16: 0.20, 32: 0.08, 56: 0.02}
+    buckets = rng.choice(
+        list(bucket_probs), size=num_batches, p=list(bucket_probs.values())
+    )
+    for b in range(num_batches):
+        bucket_n = int(buckets[b])
+        samples = []
+        for _ in range(batch_size):
+            n = int(np.clip(rng.geometric(0.25) + 1, 2, bucket_n))
+            nodes = np.sort(
+                rng.choice(np.arange(1, num_items), size=n, replace=False)
+            ).astype(np.int32)
+            m = int(rng.integers(n, 6 * n))  # avg degree ~18 in the real graph
+            samples.append(
+                {
+                    "nodes": nodes,
+                    "edge_src": rng.integers(0, n, m).astype(np.int32),
+                    "edge_dst": rng.integers(0, n, m).astype(np.int32),
+                    "target": int(rng.integers(1, num_items)),
+                    "negatives": rng.integers(1, num_items, 5).astype(np.int32),
+                }
+            )
+        batches.append(collate(samples, bucket_n, 5))
+    return batches
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gat_recommendation_tpu.data.batching import to_device
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.train.losses import dual_loss
+    from gat_recommendation_tpu.train.trainer import make_train_step
+
+    num_items = 466_865  # reference catalog size
+    batch_size = 512
+    model = create_model(
+        "graph_transformer_optimized",
+        num_items=num_items,
+        embedding_dim=256,
+        hidden_dim=256,
+    )
+    params, state = model.init_params(jax.random.key(0))
+    state = {**state, "cached_pe": jnp.zeros((num_items, model.config.laplacian_k))}
+    optimizer = optax.adamw(1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, dual_loss, optimizer)
+
+    host_batches = make_batches(num_items, batch_size, num_batches=40)
+
+    # Warmup: compile every bucket shape that appears.
+    seen = set()
+    rng = jax.random.key(0)
+    for hb in host_batches:
+        if hb.nodes_per_session not in seen:
+            seen.add(hb.nodes_per_session)
+            params, state, opt_state, loss = step(params, state, opt_state, to_device(hb), rng)
+    jax.block_until_ready(loss)
+
+    # Timed epoch-style loop.
+    t0 = time.perf_counter()
+    n_sessions = 0
+    for i, hb in enumerate(host_batches):
+        params, state, opt_state, loss = step(
+            params, state, opt_state, to_device(hb), jax.random.fold_in(rng, i)
+        )
+        n_sessions += hb.batch_size
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    sessions_per_sec = n_sessions / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_sessions_per_sec_per_chip",
+                "value": round(sessions_per_sec, 1),
+                "unit": "sessions/s",
+                "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Sharded train/eval steps: jit over a mesh with NamedSharding annotations.
+
+Same math as train/trainer.py's single-chip steps; XLA GSPMD partitions them:
+grad all-reduce over 'data' (psum), embedding-row exchange over 'model'
+(gather collectives), batch-norm statistics globally reduced (the cross-chip
+sync the single-device reference gets for free on one GPU).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gat_recommendation_tpu.parallel.mesh import (
+    batch_sharding,
+    opt_state_shardings,
+    param_shardings,
+    replicated,
+    state_shardings,
+)
+
+
+def make_sharded_train_step(model, loss_fn, optimizer, mesh) -> Callable:
+    """Jitted (params, state, opt_state, batch, rng) -> (params, state, opt_state, loss)."""
+
+    def loss_and_state(params, state, batch, rng):
+        sess, new_state = model.apply(params, state, batch, model.config, train=True, rng=rng)
+        loss, _aux = loss_fn(
+            sess, batch.targets, batch.negatives, params["item_embedding"], batch.sample_mask
+        )
+        return loss, new_state
+
+    def step(params, state, opt_state, batch, rng):
+        (loss, new_state), grads = jax.value_and_grad(loss_and_state, has_aux=True)(
+            params, state, batch, rng
+        )
+        grads["item_embedding"] = grads["item_embedding"].at[0].set(0.0)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    compiled = {}
+
+    def sharded_step(params, state, opt_state, batch, rng):
+        if "step" not in compiled:
+            ps = param_shardings(params, mesh)
+            ss = state_shardings(state, mesh)
+            os_ = opt_state_shardings(opt_state, ps, mesh)
+            bs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+            compiled["step"] = jax.jit(
+                step,
+                in_shardings=(ps, ss, os_, bs, replicated(mesh)),
+                out_shardings=(ps, ss, os_, replicated(mesh)),
+            )
+        return compiled["step"](params, state, opt_state, batch, rng)
+
+    return sharded_step
+
+
+def make_sharded_eval_step(model, k: int, mesh) -> Callable:
+    """Jitted (params, state, batch) -> top-k ids; scorer sharded over vocab.
+
+    The [B, V] score matrix is computed sharded (B over 'data', V over
+    'model'); XLA lowers the top-k as per-shard top-k + cross-shard merge.
+    """
+
+    def step(params, state, batch):
+        sess, _ = model.apply(params, state, batch, model.config, train=False)
+        scores = jnp.dot(sess, params["item_embedding"].T, preferred_element_type=jnp.float32)
+        _, top_idx = jax.lax.top_k(scores, k)
+        return top_idx
+
+    compiled = {}
+
+    def sharded_step(params, state, batch):
+        if "step" not in compiled:
+            ps = param_shardings(params, mesh)
+            ss = state_shardings(state, mesh)
+            bs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+            compiled["step"] = jax.jit(
+                step,
+                in_shardings=(ps, ss, bs),
+                out_shardings=batch_sharding(mesh),
+            )
+        return compiled["step"](params, state, batch)
+
+    return sharded_step
+
+
+def shard_batch(batch, mesh):
+    """Device-put a host SessionBatch onto the mesh, sharded over 'data'."""
+    bs = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), batch)
+
+
+def shard_params(params, state, opt_state, mesh):
+    """Place (params, state, opt_state) onto the mesh per the sharding rules."""
+    ps = param_shardings(params, mesh)
+    ss = state_shardings(state, mesh)
+    os_ = opt_state_shardings(opt_state, ps, mesh)
+    return (
+        jax.tree.map(jax.device_put, params, ps),
+        jax.tree.map(jax.device_put, state, ss),
+        jax.tree.map(jax.device_put, opt_state, os_),
+    )
