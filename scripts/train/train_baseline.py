@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Training CLI (reference scripts/train/train_baseline.py:27-290 parity).
+
+num_items comes from split_info.json (reference :145-150); transformer models
+get a full-graph Laplacian-PE precompute (reference :210-243); optional GCS
+artifact movement is gated on google-cloud-storage availability; --resume is
+a new capability (the reference cannot resume).
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+import optax
+
+from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches
+from gat_recommendation_tpu.data.graph import load_edges
+from gat_recommendation_tpu.models import create_model
+from gat_recommendation_tpu.models.registry import count_params
+from gat_recommendation_tpu.train import Trainer, create_loss_function
+from gat_recommendation_tpu.utils.logging import get_logger
+from gat_recommendation_tpu.utils.seed import set_seed
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train session-recommendation models")
+    p.add_argument("--model", type=str, default="graph_transformer_optimized",
+                   choices=["graphsage", "gat", "graph_transformer", "graph_transformer_optimized"])
+    p.add_argument("--train-sessions", type=str, default="data/processed/train.csv")
+    p.add_argument("--val-sessions", type=str, default="data/processed/val.csv")
+    p.add_argument("--graph-edges", type=str, default="data/processed/graph_edges.csv")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--num-negatives", type=int, default=5)
+    p.add_argument("--max-session-length", type=int, default=50)
+    p.add_argument("--embedding-dim", type=int, default=256)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--num-layers", type=int, default=None,
+                   help="default: model-specific (2 for optimized GT, 3 otherwise)")
+    p.add_argument("--num-heads", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--readout-type", type=str, default="mean",
+                   choices=["mean", "max", "last", "attention"])
+    p.add_argument("--loss-type", type=str, default="dual",
+                   choices=["bpr", "listwise", "dual", "sampled_softmax"])
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--max-epochs", type=int, default=100)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--output-dir", type=str, default="outputs")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume", action="store_true", help="resume from checkpoint_latest")
+    p.add_argument("--gcs-bucket", type=str, default=None)
+    return p.parse_args()
+
+
+def maybe_gcs_download(bucket: str | None, paths: list[str], logger) -> None:
+    if not bucket:
+        return
+    try:
+        from google.cloud import storage  # type: ignore
+    except ImportError:
+        logger.warning("google-cloud-storage not installed; skipping GCS download")
+        return
+    client = storage.Client()
+    b = client.bucket(bucket)
+    for path in paths:
+        local = Path(path)
+        local.parent.mkdir(parents=True, exist_ok=True)
+        b.blob(path).download_to_filename(str(local))
+        logger.info(f"gs://{bucket}/{path} -> {local}")
+
+
+def main() -> None:
+    args = parse_args()
+    logger = get_logger(__name__)
+    set_seed(args.seed)
+
+    maybe_gcs_download(
+        args.gcs_bucket,
+        [args.train_sessions, args.val_sessions, args.graph_edges,
+         str(Path(args.train_sessions).parent / "split_info.json")],
+        logger,
+    )
+
+    split_info_path = Path(args.train_sessions).parent / "split_info.json"
+    with open(split_info_path) as f:
+        num_items = json.load(f)["num_items"]
+    logger.info(f"Number of items: {num_items:,}")
+
+    edges = load_edges(args.graph_edges)
+    train_ds = SessionDataset(
+        args.train_sessions, edges,
+        num_negatives=args.num_negatives,
+        max_session_length=args.max_session_length,
+        num_items=num_items,
+    )
+    val_ds = SessionDataset(
+        args.val_sessions, edges,
+        num_negatives=args.num_negatives,
+        max_session_length=args.max_session_length,
+        num_items=num_items,
+    )
+    logger.info(f"Train sessions: {len(train_ds):,} | Val sessions: {len(val_ds):,}")
+
+    model_kwargs: dict = dict(
+        embedding_dim=args.embedding_dim,
+        hidden_dim=args.hidden_dim,
+        dropout=args.dropout,
+        readout_type=args.readout_type,
+    )
+    if args.num_layers is not None:
+        model_kwargs["num_layers"] = args.num_layers
+    if args.num_heads is not None and args.model != "graphsage":
+        model_kwargs["num_heads"] = args.num_heads
+    model = create_model(args.model, num_items, **model_kwargs)
+
+    trainer = Trainer(
+        model,
+        train_batches=lambda epoch: iterate_batches(
+            train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed + epoch
+        ),
+        val_batches=lambda: iterate_batches(
+            val_ds, batch_size=args.batch_size, shuffle=False, seed=0
+        ),
+        optimizer=optax.adamw(args.lr, weight_decay=args.weight_decay),
+        output_dir=Path(args.output_dir) / args.model,
+        max_epochs=args.max_epochs,
+        patience=args.patience,
+        eval_every=args.eval_every,
+        loss_fn=create_loss_function(args.loss_type, args.alpha, args.temperature),
+        seed=args.seed,
+    )
+
+    params, state, opt_state = trainer.init_state()
+    logger.info(f"Model parameters: {count_params(params) - num_items * args.embedding_dim:,} "
+                f"(+ embedding table {num_items * args.embedding_dim:,})")
+    if model.uses_laplacian_pe:
+        logger.info("Precomputing Laplacian PE for the full graph...")
+        state = model.precompute_pe(state, *edges)
+        logger.info("Laplacian PE precomputed")
+
+    trainer.train(params, state, opt_state, resume=args.resume)
+    logger.info(f"Done. Best recall@10: {trainer.best_val_metric:.4f}")
+
+
+if __name__ == "__main__":
+    main()
