@@ -1,0 +1,90 @@
+"""Hybrid optimizer: fused Pallas AdamW for the embedding table, optax for the rest.
+
+The embedding table dominates optimizer cost (466,865 x 256 fp32; XLA runs the
+optax AdamW chain as many separate HBM passes). This optimizer routes the
+table's update through the single-pass fused kernel
+(ops/pallas/embedding_adamw.py) and everything else through plain optax.adamw
+— the math is identical to optax.adamw over the whole tree.
+
+API shape: ``init(params) -> state`` like optax, plus ``update_full(grads,
+state, params) -> (new_params, new_state)`` which applies updates directly
+(the fused kernel computes new weights, not deltas). make_train_step detects
+``update_full`` and uses it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+EMBEDDING_KEY = "item_embedding"
+
+
+class FusedEmbeddingAdamW:
+    """AdamW with the embedding-table update fused into one Pallas pass."""
+
+    def __init__(
+        self,
+        learning_rate: float,
+        b1: float = 0.9,
+        b2: float = 0.999,
+        eps: float = 1e-8,
+        weight_decay: float = 0.0,
+        use_pallas: bool | None = None,
+    ):
+        self.lr = learning_rate
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.weight_decay = weight_decay
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self._rest = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                                 weight_decay=weight_decay)
+
+    def _split(self, tree: dict):
+        rest = {k: v for k, v in tree.items() if k != EMBEDDING_KEY}
+        return tree[EMBEDDING_KEY], rest
+
+    def init(self, params: dict) -> dict:
+        table, rest = self._split(params)
+        return {
+            "emb_mu": jnp.zeros_like(table),
+            "emb_nu": jnp.zeros_like(table),
+            "count": jnp.zeros((), jnp.int32),
+            "rest": self._rest.init(rest),
+        }
+
+    def update_full(self, grads: dict, state: dict, params: dict):
+        """Apply the update directly: returns (new_params, new_state)."""
+        g_table, g_rest = self._split(grads)
+        table, p_rest = self._split(params)
+        count = state["count"] + 1
+
+        if self.use_pallas:
+            from gat_recommendation_tpu.ops.pallas.embedding_adamw import (
+                fused_embedding_adamw,
+            )
+
+            new_table, mu, nu = fused_embedding_adamw(
+                table, state["emb_mu"], state["emb_nu"], g_table, count,
+                lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+        else:
+            from gat_recommendation_tpu.ops.pallas.embedding_adamw import (
+                adamw_update_reference,
+            )
+
+            new_table, mu, nu = adamw_update_reference(
+                table, state["emb_mu"], state["emb_nu"], g_table, count,
+                lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+
+        upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
+        new_rest = optax.apply_updates(p_rest, upd)
+
+        new_params = {**new_rest, EMBEDDING_KEY: new_table}
+        new_state = {"emb_mu": mu, "emb_nu": nu, "count": count, "rest": new_rest_state}
+        return new_params, new_state

@@ -44,6 +44,8 @@ def make_train_step(model, loss_fn, optimizer) -> Callable:
         )
         return loss, (new_state, aux)
 
+    fused = hasattr(optimizer, "update_full")
+
     @jax.jit
     def train_step(params, state, opt_state, batch, rng):
         (loss, (new_state, _aux)), grads = jax.value_and_grad(loss_and_state, has_aux=True)(
@@ -51,8 +53,11 @@ def make_train_step(model, loss_fn, optimizer) -> Callable:
         )
         # padding_idx parity: row 0 of the embedding table never updates.
         grads["item_embedding"] = grads["item_embedding"].at[0].set(0.0)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        if fused:
+            new_params, new_opt_state = optimizer.update_full(grads, opt_state, params)
+        else:
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
         return new_params, new_state, new_opt_state, loss
 
     return train_step
