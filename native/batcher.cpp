@@ -1,0 +1,137 @@
+// Native session-graph batcher (C ABI, loaded via ctypes).
+//
+// The host-side input pipeline is the framework's real bottleneck at TPU
+// throughput (SURVEY.md §7 hard part #7): per-session sorted-unique context
+// extraction, CSR induced-subgraph intersection, dense adjacency fill, and
+// rejection-sampled negatives. This file implements those inner loops in
+// C++ with a stable C ABI; gat_recommendation_tpu/data/native.py binds it
+// and data/batching.py falls back to the numpy path when the library is
+// absent.
+//
+// Semantics mirror data/batching.py exactly:
+//   * nodes = ascending unique context item ids, truncated to bucket_n;
+//   * edges = CSR rows intersected with the node set, adj[dst][src] = 1;
+//   * negatives drawn uniformly from [1, num_items) excluding ALL session
+//     items (context + target), via rejection sampling;
+//   * batch padding slots stay zero with sample_mask = 0.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// SplitMix64 — deterministic, seedable, no global state.
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+// Build CSR from directed edges. indptr: [num_items+1]; indices: [n_edges].
+// Caller passes edges in any order; output rows are sorted.
+void build_csr(const int64_t* item_i, const int64_t* item_j, int64_t n_edges,
+               int64_t num_items, int64_t* indptr, int32_t* indices) {
+  std::memset(indptr, 0, sizeof(int64_t) * (num_items + 1));
+  for (int64_t e = 0; e < n_edges; ++e) indptr[item_i[e] + 1]++;
+  for (int64_t v = 0; v < num_items; ++v) indptr[v + 1] += indptr[v];
+  // Temporary write cursors.
+  int64_t* cursor = new int64_t[num_items];
+  std::memcpy(cursor, indptr, sizeof(int64_t) * num_items);
+  for (int64_t e = 0; e < n_edges; ++e)
+    indices[cursor[item_i[e]]++] = static_cast<int32_t>(item_j[e]);
+  delete[] cursor;
+  for (int64_t v = 0; v < num_items; ++v)
+    std::sort(indices + indptr[v], indices + indptr[v + 1]);
+}
+
+// Assemble one fixed-shape batch.
+//
+// sessions: flat item array + offsets[B+1] selecting each sample's FULL
+// session (already truncated to max_session_length by the caller); the last
+// item is the target, the rest are context. A sample with offsets[b] ==
+// offsets[b+1] is a padding slot.
+//
+// Outputs (pre-allocated by the caller, zero-filled here):
+//   node_ids   [B, bucket_n] int32
+//   node_mask  [B, bucket_n] uint8
+//   adj        [B, bucket_n, bucket_n] uint8   (adj[dst][src])
+//   num_nodes  [B] int32
+//   targets    [B] int32
+//   negatives  [B, num_negatives] int32
+//   sample_mask[B] uint8
+void assemble_batch(
+    const int64_t* items, const int64_t* offsets, int64_t batch_size,
+    const int64_t* indptr, const int32_t* indices, int64_t num_items,
+    int64_t bucket_n, int64_t num_negatives, uint64_t seed,
+    int32_t* node_ids, uint8_t* node_mask, uint8_t* adj, int32_t* num_nodes,
+    int32_t* targets, int32_t* negatives, uint8_t* sample_mask) {
+  const int64_t NN = bucket_n * bucket_n;
+  std::memset(node_ids, 0, sizeof(int32_t) * batch_size * bucket_n);
+  std::memset(node_mask, 0, batch_size * bucket_n);
+  std::memset(adj, 0, batch_size * NN);
+  std::memset(num_nodes, 0, sizeof(int32_t) * batch_size);
+  std::memset(targets, 0, sizeof(int32_t) * batch_size);
+  std::memset(negatives, 0, sizeof(int32_t) * batch_size * num_negatives);
+  std::memset(sample_mask, 0, batch_size);
+
+  // Scratch buffers sized for the longest legal session.
+  int64_t session_buf[4096];
+  int64_t uniq[4096];
+
+  for (int64_t b = 0; b < batch_size; ++b) {
+    const int64_t start = offsets[b], end = offsets[b + 1];
+    const int64_t len = end - start;
+    if (len <= 0) continue;  // padding slot
+    sample_mask[b] = 1;
+    targets[b] = static_cast<int32_t>(items[end - 1]);
+
+    // Sorted-unique context (everything but the last event).
+    const int64_t clen = len - 1;
+    for (int64_t i = 0; i < clen; ++i) session_buf[i] = items[start + i];
+    std::sort(session_buf, session_buf + clen);
+    int64_t n = std::unique(session_buf, session_buf + clen) - session_buf;
+    if (n > bucket_n) n = bucket_n;
+    num_nodes[b] = static_cast<int32_t>(n);
+    for (int64_t i = 0; i < n; ++i) {
+      node_ids[b * bucket_n + i] = static_cast<int32_t>(session_buf[i]);
+      node_mask[b * bucket_n + i] = 1;
+    }
+
+    // Induced edges: for each node u, binary-search its CSR row against the
+    // sorted node set.
+    uint8_t* A = adj + b * NN;
+    for (int64_t u_local = 0; u_local < n; ++u_local) {
+      const int64_t u = session_buf[u_local];
+      const int64_t rs = indptr[u], re = indptr[u + 1];
+      for (int64_t p = rs; p < re; ++p) {
+        const int64_t v = indices[p];
+        const int64_t* hit =
+            std::lower_bound(session_buf, session_buf + n, v);
+        if (hit != session_buf + n && *hit == v) {
+          const int64_t v_local = hit - session_buf;
+          A[v_local * bucket_n + u_local] = 1;  // adj[dst][src]
+        }
+      }
+    }
+
+    // Negatives: rejection sample from [1, num_items) excluding the full
+    // session (context + target). Sessions are tiny; linear scan of uniq.
+    int64_t m = 0;
+    for (int64_t i = 0; i < len; ++i) uniq[m++] = items[start + i];
+    std::sort(uniq, uniq + m);
+    m = std::unique(uniq, uniq + m) - uniq;
+
+    uint64_t rng = seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(b + 1));
+    int64_t got = 0;
+    while (got < num_negatives) {
+      const int64_t cand = 1 + (int64_t)(splitmix64(&rng) % (uint64_t)(num_items - 1));
+      const int64_t* hit = std::lower_bound(uniq, uniq + m, cand);
+      if (hit != uniq + m && *hit == cand) continue;
+      negatives[b * num_negatives + got++] = static_cast<int32_t>(cand);
+    }
+  }
+}
+
+}  // extern "C"
