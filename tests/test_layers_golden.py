@@ -171,12 +171,46 @@ def test_sage_conv_matches_naive(aggregator):
     np.testing.assert_allclose(dense, naive, rtol=1e-4, atol=1e-5)
 
 
-def test_sage_lstm_raises():
+def naive_lstm_aggregate(p, x, adj):
+    """Per-dst LSTM over neighbors in ascending source order."""
+    n, d = x.shape
+    out = np.zeros((n, d))
+    for i in range(n):
+        h = np.zeros(d)
+        c = np.zeros(d)
+        for j in range(n):
+            if not adj[i, j]:
+                continue
+            gates = x[j] @ p["w_ih"] + h @ p["w_hh"] + p["b_ih"] + p["b_hh"]
+            ii, ff, gg, oo = np.split(gates, 4)
+            sig = lambda z: 1.0 / (1.0 + np.exp(-z))
+            c = sig(ff) * c + sig(ii) * np.tanh(gg)
+            h = sig(oo) * np.tanh(c)
+        out[i] = h
+    return out
+
+
+def test_sage_lstm_matches_naive():
+    rng = np.random.default_rng(7)
+    n, in_dim, out_dim = 6, 5, 4
+    x = rng.standard_normal((n, in_dim)).astype(np.float32)
+    adj = random_graph(rng, n)
+    params = init_sage_conv(jax.random.key(8), in_dim, out_dim, aggregator="lstm")
+    p_np = jax.tree.map(np.asarray, params)
+
+    xb, ab, _ = as_batch(x, adj, n_pad=8)
+    dense = np.asarray(sage_conv(params, xb, ab, aggregator="lstm"))[0, :n]
+    agg = naive_lstm_aggregate(p_np["lstm"], x, adj)
+    naive = agg @ p_np["lin_l"]["w"] + p_np["lin_l"]["b"] + x @ p_np["lin_r"]["w"]
+    np.testing.assert_allclose(dense, naive, rtol=1e-4, atol=1e-5)
+
+
+def test_sage_unknown_aggregator_raises():
     params = init_sage_conv(jax.random.key(0), 4, 4)
     x = jnp.zeros((1, 4, 4))
     adj = jnp.zeros((1, 4, 4), dtype=bool)
-    with pytest.raises(NotImplementedError):
-        sage_conv(params, x, adj, aggregator="lstm")
+    with pytest.raises(ValueError):
+        sage_conv(params, x, adj, aggregator="bogus")
 
 
 def test_masked_batch_norm_matches_unmasked():
