@@ -82,6 +82,7 @@ def apply(
     *,
     train: bool = False,
     rng: jax.Array | None = None,
+    node_embeddings: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     """Forward pass. batch is a SessionBatch of device arrays.
 
@@ -89,7 +90,11 @@ def apply(
     """
     if rng is None:
         rng = jax.random.key(0)
-    x = params["item_embedding"][batch.node_ids]  # [B, N, D]
+    x = (
+        node_embeddings
+        if node_embeddings is not None
+        else params["item_embedding"][batch.node_ids]
+    )  # [B, N, D]
 
     if cfg.use_laplacian_pe:
         pe = state["cached_pe"][batch.node_ids]  # [B, N, k]

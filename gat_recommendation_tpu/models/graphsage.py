@@ -56,10 +56,15 @@ def apply(
     *,
     train: bool = False,
     rng: jax.Array | None = None,
+    node_embeddings: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     if rng is None:
         rng = jax.random.key(0)
-    x = params["item_embedding"][batch.node_ids]
+    x = (
+        node_embeddings
+        if node_embeddings is not None
+        else params["item_embedding"][batch.node_ids]
+    )
     new_state: dict = {"batch_norms": []}
 
     for i in range(cfg.num_layers):
