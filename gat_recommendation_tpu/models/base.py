@@ -50,16 +50,33 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
     return out
 
 
+# Tables are padded to a row multiple so they row-shard evenly over any
+# reasonable 'model' mesh axis (the real catalog, 466,865, divides by nothing
+# useful). Phantom rows are zero at init, receive zero gradients (no id maps
+# to them), and stay exactly zero under AdamW (zero weight + zero moments) —
+# scoring masks them to -inf (see predict_topk / eval steps).
+TABLE_PAD_MULTIPLE = 64
+
+
+def padded_rows(num_items: int, multiple: int = TABLE_PAD_MULTIPLE) -> int:
+    return -(-num_items // multiple) * multiple
+
+
 def init_item_embedding(rng: jax.Array, num_items: int, embedding_dim: int) -> jax.Array:
-    """Embedding table [num_items, D]: row 0 (padding) zero, rows 1: xavier_uniform.
+    """Embedding table [padded(num_items), D]: row 0 (padding) zero, rows
+    1:num_items xavier_uniform, phantom tail rows zero.
 
     Parity with reference base.py:36-37 (nn.Embedding(padding_idx=0) +
     xavier_uniform_ on weight[1:], whose torch fan computation gives
     a = sqrt(6 / (num_items - 1 + D))).
     """
+    rows = padded_rows(num_items)
     a = math.sqrt(6.0 / (num_items - 1 + embedding_dim))
-    table = jax.random.uniform(rng, (num_items, embedding_dim), minval=-a, maxval=a)
-    return table.at[0].set(0.0)
+    table = jax.random.uniform(rng, (rows, embedding_dim), minval=-a, maxval=a)
+    table = table.at[0].set(0.0)
+    if rows > num_items:
+        table = table.at[num_items:].set(0.0)
+    return table
 
 
 def padding_row_grad_mask(num_items: int) -> jax.Array:
@@ -111,17 +128,32 @@ def apply_readout(
 # Scoring + default loss
 # ---------------------------------------------------------------------------
 
-def predict_topk(session_embeddings: jax.Array, item_embeddings: jax.Array, k: int = 20):
+def predict_topk(
+    session_embeddings: jax.Array,
+    item_embeddings: jax.Array,
+    k: int = 20,
+    num_items: int | None = None,
+):
     """Full-catalog dot-product scores + top-k (reference base.py:59-78).
 
     Note: like the reference, eval does NOT mask seen items (serving does).
+    `num_items` masks the padded phantom tail of the table (scores -> -inf).
     Returns (top_k_indices [B, k], top_k_scores [B, k]).
     """
     scores = jnp.dot(
         session_embeddings, item_embeddings.T, preferred_element_type=jnp.float32
     )
+    scores = mask_phantom(scores, num_items)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     return top_idx, top_scores
+
+
+def mask_phantom(scores: jax.Array, num_items: int | None) -> jax.Array:
+    """-inf the padded phantom columns beyond the logical catalog size."""
+    if num_items is None or scores.shape[-1] <= num_items:
+        return scores
+    col = jnp.arange(scores.shape[-1])
+    return jnp.where(col < num_items, scores, -jnp.inf)
 
 
 def bpr_loss_from_embeddings(

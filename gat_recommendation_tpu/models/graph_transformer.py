@@ -50,7 +50,7 @@ def init(rng: jax.Array, cfg: GraphTransformerConfig) -> tuple[dict, dict]:
         params["lap_projection"] = base.xavier_linear_init(
             keys[2], cfg.laplacian_k, cfg.embedding_dim
         )
-        state["cached_pe"] = jnp.zeros((cfg.num_items, cfg.laplacian_k))
+        state["cached_pe"] = jnp.zeros((base.padded_rows(cfg.num_items), cfg.laplacian_k))
 
     if cfg.use_ffn:
         params["ffns"] = []
@@ -144,7 +144,12 @@ def precompute_pe(state: dict, cfg: GraphTransformerConfig, item_i, item_j) -> d
     """Host-side eigensolve -> fill state['cached_pe'] (reference precompute parity)."""
     from gat_recommendation_tpu.models.laplacian_pe import compute_laplacian_pe
 
+    import numpy as np
+
     pe = compute_laplacian_pe(item_i, item_j, cfg.num_items, k=cfg.laplacian_k)
+    rows = base.padded_rows(cfg.num_items)
+    if rows > pe.shape[0]:
+        pe = np.concatenate([pe, np.zeros((rows - pe.shape[0], pe.shape[1]), pe.dtype)])
     return {**state, "cached_pe": jnp.asarray(pe)}
 
 

@@ -67,9 +67,12 @@ def make_sharded_eval_step(model, k: int, mesh) -> Callable:
     'model'); XLA lowers the top-k as per-shard top-k + cross-shard merge.
     """
 
+    from gat_recommendation_tpu.models.base import mask_phantom
+
     def step(params, state, batch):
         sess, _ = model.apply(params, state, batch, model.config, train=False)
         scores = jnp.dot(sess, params["item_embedding"].T, preferred_element_type=jnp.float32)
+        scores = mask_phantom(scores, model.config.num_items)
         _, top_idx = jax.lax.top_k(scores, k)
         return top_idx
 

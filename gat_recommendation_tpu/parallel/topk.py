@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def sharded_topk(session_emb: jax.Array, item_table: jax.Array, k: int, mesh) -> tuple:
+def sharded_topk(
+    session_emb: jax.Array, item_table: jax.Array, k: int, mesh, num_valid: int | None = None
+) -> tuple:
     """Top-k over dot-product scores with the table sharded over 'model'.
 
     session_emb: [B, D] (replicated over 'model', sharded over 'data');
@@ -30,8 +32,11 @@ def sharded_topk(session_emb: jax.Array, item_table: jax.Array, k: int, mesh) ->
     model-axis size by padding with -inf-scoring phantom rows.
     """
     n_model = mesh.shape["model"]
-    V, D = item_table.shape
-    pad = (-V) % n_model
+    rows, D = item_table.shape
+    # Logical catalog size: phantom rows beyond it (pre-padded tables and any
+    # rows appended here for even sharding) are masked to -inf below.
+    V = num_valid if num_valid is not None else rows
+    pad = (-rows) % n_model
     if pad:
         item_table = jnp.concatenate([item_table, jnp.zeros((pad, D), item_table.dtype)], 0)
     shard_rows = item_table.shape[0] // n_model
@@ -68,7 +73,9 @@ def make_sharded_eval_step_v2(model, k: int, mesh):
 
     def step(params, state, batch):
         sess, _ = model.apply(params, state, batch, model.config, train=False)
-        idx, _ = sharded_topk(sess, params["item_embedding"], k, mesh)
+        idx, _ = sharded_topk(
+            sess, params["item_embedding"], k, mesh, num_valid=model.config.num_items
+        )
         return idx
 
     return jax.jit(step)

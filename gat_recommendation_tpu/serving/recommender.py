@@ -82,10 +82,13 @@ class Recommender:
         p_tmpl, s_tmpl = self.model.init_params(jax.random.key(0))
         self.params, self.state = ckpt.restore_params_state(checkpoint_path, p_tmpl, s_tmpl)
 
-        # Cross-check stored config against array shapes (shape-inference parity).
+        # Cross-check stored config against array shapes (shape-inference
+        # parity; tables are padded to a row multiple for even sharding).
+        from gat_recommendation_tpu.models.base import padded_rows
+
         table = self.params["item_embedding"]
-        self.num_items, self.embedding_dim = int(table.shape[0]), int(table.shape[1])
-        assert self.num_items == num_items, "meta/array num_items mismatch"
+        self.num_items, self.embedding_dim = num_items, int(table.shape[1])
+        assert int(table.shape[0]) == padded_rows(num_items), "meta/array num_items mismatch"
         self.checkpoint_epoch = int(meta.get("epoch", -1))
         self.val_recall_at_10 = float(meta.get("best_val_metric", float("nan")))
 
@@ -125,6 +128,9 @@ class Recommender:
             )[0]
             scores = jnp.where(seen_mask, -jnp.inf, scores)
             scores = scores.at[0].set(-jnp.inf)  # padding index
+            from gat_recommendation_tpu.models.base import mask_phantom
+
+            scores = mask_phantom(scores, model.config.num_items)
             top_scores, top_idx = jax.lax.top_k(scores, k)
             return top_idx, top_scores
 
@@ -160,8 +166,10 @@ class Recommender:
             (b for b in self.buckets if n_unique <= b), self.buckets[-1]
         )
 
+        from gat_recommendation_tpu.models.base import padded_rows
+
         node_ids, node_mask, adj, num_nodes = self._build_session_batch(items, bucket_n)
-        seen = np.zeros((self.num_items,), bool)
+        seen = np.zeros((padded_rows(self.num_items),), bool)  # scores are table-length
         seen[list(set(items))] = True
 
         fwd = self._forward_fn(bucket_n)

@@ -66,12 +66,15 @@ def make_train_step(model, loss_fn, optimizer) -> Callable:
 def make_eval_step(model, k: int) -> Callable:
     """(params, state, batch) -> top-k item ids [B, k] (full-catalog scoring)."""
 
+    from gat_recommendation_tpu.models.base import mask_phantom
+
     @jax.jit
     def eval_step(params, state, batch):
         sess, _ = model.apply(params, state, batch, model.config, train=False)
         scores = jnp.dot(
             sess, params["item_embedding"].T, preferred_element_type=jnp.float32
         )
+        scores = mask_phantom(scores, model.config.num_items)
         _, top_idx = jax.lax.top_k(scores, k)
         return top_idx
 
@@ -94,6 +97,7 @@ class Trainer:
         k_values: list[int] | None = None,
         loss_fn=None,
         seed: int = 42,
+        mesh=None,
     ):
         from gat_recommendation_tpu.train.losses import bpr_loss
 
@@ -109,14 +113,26 @@ class Trainer:
         self.k_values = k_values if k_values is not None else [10, 20]
         self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
         self.seed = seed
+        self.mesh = mesh
 
         self.current_epoch = 0
         self.best_val_metric = 0.0
         self.patience_counter = 0
         self.history: dict = {"train_loss": [], "val_metrics": []}
 
-        self._train_step = make_train_step(self.model, self.loss_fn, self.optimizer)
-        self._eval_step = make_eval_step(self.model, max(self.k_values))
+        if mesh is not None:
+            from gat_recommendation_tpu.parallel.steps import (
+                make_sharded_eval_step,
+                make_sharded_train_step,
+            )
+
+            self._train_step = make_sharded_train_step(
+                self.model, self.loss_fn, self.optimizer, mesh
+            )
+            self._eval_step = make_sharded_eval_step(self.model, max(self.k_values), mesh)
+        else:
+            self._train_step = make_train_step(self.model, self.loss_fn, self.optimizer)
+            self._eval_step = make_eval_step(self.model, max(self.k_values))
 
     # -- initialization / resume ------------------------------------------
 
@@ -124,7 +140,20 @@ class Trainer:
         rng = rng if rng is not None else jax.random.key(self.seed)
         params, state = self.model.init_params(rng)
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from gat_recommendation_tpu.parallel.steps import shard_params
+
+            params, state, opt_state = shard_params(params, state, opt_state, self.mesh)
         return params, state, opt_state
+
+    def _to_device(self, batch):
+        from gat_recommendation_tpu.data.batching import to_device
+
+        if self.mesh is not None:
+            from gat_recommendation_tpu.parallel.steps import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return to_device(batch)
 
     # -- epoch work --------------------------------------------------------
 
@@ -132,13 +161,11 @@ class Trainer:
         """One epoch. Losses stay on device until the end of the epoch —
         per-step host readbacks would serialize the pipeline (and cost ~1s
         each through remote-TPU relays)."""
-        from gat_recommendation_tpu.data.batching import to_device
-
         losses = []
         root = jax.random.key(self.seed)
         epoch_rng = jax.random.fold_in(root, self.current_epoch)
         for step, batch in enumerate(self.train_batches(self.current_epoch)):
-            dbatch = to_device(batch)
+            dbatch = self._to_device(batch)
             rng = jax.random.fold_in(epoch_rng, step)
             params, state, opt_state, loss = self._train_step(
                 params, state, opt_state, dbatch, rng
@@ -154,9 +181,7 @@ class Trainer:
     def evaluate(self, params, state) -> dict:
         preds, targets = [], []
         for batch in self.val_batches():
-            from gat_recommendation_tpu.data.batching import to_device
-
-            top = np.asarray(self._eval_step(params, state, to_device(batch)))
+            top = np.asarray(self._eval_step(params, state, self._to_device(batch)))
             mask = np.asarray(batch.sample_mask)
             preds.append(top[mask])
             targets.append(np.asarray(batch.targets)[mask])
