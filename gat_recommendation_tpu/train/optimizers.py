@@ -88,3 +88,48 @@ class FusedEmbeddingAdamW:
         new_params = {**new_rest, EMBEDDING_KEY: new_table}
         new_state = {"emb_mu": mu, "emb_nu": nu, "count": count, "rest": new_rest_state}
         return new_params, new_state
+
+    def update_sparse(self, g_rest: dict, ids: jax.Array, row_grads: jax.Array,
+                      state: dict, params: dict):
+        """Sparse embedding update: the table gradient arrives as (ids, rows)
+        instead of a dense [V, D] array (which XLA would otherwise
+        materialize via scatter every step).
+
+        Math is exactly AdamW: moments decay densely (all rows), the sparse
+        gradient contributions scatter-add into the decayed moments, then one
+        dense pass computes the weight update. ~8 HBM passes over the table
+        vs ~13 for the optax chain + dense-grad materialization.
+        """
+        table, p_rest = self._split(params)
+        count = state["count"] + 1
+
+        # Accumulate duplicate ids BEFORE squaring: AdamW's second moment uses
+        # (sum of contributions)^2, not sum of squares. Sort + segment-sum with
+        # a static bound keeps this jit-friendly; unused tail slots carry zero
+        # gradients aimed at row 0 (harmless: += 0).
+        R = ids.shape[0]
+        order = jnp.argsort(ids)
+        sid = ids[order]
+        sval = row_grads[order]
+        is_new = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+        seg = jnp.cumsum(is_new) - 1
+        summed = jax.ops.segment_sum(sval, seg, num_segments=R)
+        uid = jnp.zeros((R,), ids.dtype).at[seg].set(sid)
+
+        mu = self.b1 * state["emb_mu"]
+        nu = self.b2 * state["emb_nu"]
+        mu = mu.at[uid].add((1.0 - self.b1) * summed)
+        nu = nu.at[uid].add((1.0 - self.b2) * jnp.square(summed))
+
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - jnp.power(self.b1, c))
+        nu_hat = nu / (1.0 - jnp.power(self.b2, c))
+        new_table = table - self.lr * (
+            mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * table
+        )
+
+        upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
+        new_rest = optax.apply_updates(p_rest, upd)
+        new_params = {**new_rest, EMBEDDING_KEY: new_table}
+        new_state = {"emb_mu": mu, "emb_nu": nu, "count": count, "rest": new_rest_state}
+        return new_params, new_state

@@ -12,6 +12,7 @@ gradient zeroed (torch padding_idx parity, reference base.py:36).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from dataclasses import asdict
@@ -29,10 +30,14 @@ from gat_recommendation_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def make_train_step(model, loss_fn, optimizer) -> Callable:
+def make_train_step(model, loss_fn, optimizer, donate: bool = False) -> Callable:
     """Build the jitted training step.
 
     (params, state, opt_state, batch, rng) -> (params, state, opt_state, loss)
+
+    donate=True aliases params/state/opt_state in place on TPU so long async
+    step chains don't accumulate live copies of the optimizer tree (observed
+    RESOURCE_EXHAUSTED without it); callers must then never reuse the inputs.
     """
 
     def loss_and_state(params, state, batch, rng):
@@ -46,7 +51,7 @@ def make_train_step(model, loss_fn, optimizer) -> Callable:
 
     fused = hasattr(optimizer, "update_full")
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def train_step(params, state, opt_state, batch, rng):
         (loss, (new_state, _aux)), grads = jax.value_and_grad(loss_and_state, has_aux=True)(
             params, state, batch, rng
@@ -61,6 +66,54 @@ def make_train_step(model, loss_fn, optimizer) -> Callable:
         return new_params, new_state, new_opt_state, loss
 
     return train_step
+
+
+def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> Callable:
+    """Training step with sparse embedding gradients.
+
+    All embedding rows the step touches (session nodes + targets + negatives)
+    are gathered ONCE up front; the loss is differentiated w.r.t. those rows,
+    so the dense [V, D] table gradient never materializes. Requires an
+    optimizer with `update_sparse` (FusedEmbeddingAdamW) and a loss with
+    `.from_embeddings` (all built-in losses).
+    """
+    assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
+
+    def step(params, state, opt_state, batch, rng):
+        B, N = batch.node_ids.shape
+        K = batch.negatives.shape[1]
+        ids = jnp.concatenate(
+            [batch.node_ids.reshape(-1), batch.targets, batch.negatives.reshape(-1)]
+        )
+        table = jax.lax.stop_gradient(params["item_embedding"])
+        rows0 = table[ids]
+        other = {k_: v for k_, v in params.items() if k_ != "item_embedding"}
+
+        def loss_inner(other_params, rows):
+            node_emb = rows[: B * N].reshape(B, N, -1)
+            target_emb = rows[B * N : B * N + B]
+            neg_emb = rows[B * N + B :].reshape(B, K, -1)
+            full = {**other_params, "item_embedding": table}
+            sess, new_state = model.apply(
+                full, state, batch, model.config, train=True, rng=rng,
+                node_embeddings=node_emb,
+            )
+            loss, _aux = loss_fn.from_embeddings(
+                sess, target_emb, neg_emb, batch.sample_mask
+            )
+            return loss, new_state
+
+        (loss, new_state), (g_other, g_rows) = jax.value_and_grad(
+            loss_inner, argnums=(0, 1), has_aux=True
+        )(other, rows0)
+        # padding_idx parity: row 0 never updates.
+        g_rows = jnp.where((ids == 0)[:, None], 0.0, g_rows)
+        new_params, new_opt_state = optimizer.update_sparse(
+            g_other, ids, g_rows, opt_state, params
+        )
+        return new_params, new_state, new_opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
 
 def make_eval_step(model, k: int) -> Callable:
@@ -131,7 +184,9 @@ class Trainer:
             )
             self._eval_step = make_sharded_eval_step(self.model, max(self.k_values), mesh)
         else:
-            self._train_step = make_train_step(self.model, self.loss_fn, self.optimizer)
+            self._train_step = make_train_step(
+                self.model, self.loss_fn, self.optimizer, donate=True
+            )
             self._eval_step = make_eval_step(self.model, max(self.k_values))
 
     # -- initialization / resume ------------------------------------------

@@ -1,0 +1,76 @@
+"""Sparse-gradient train step: exact equivalence with the dense optax step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gat_recommendation_tpu.data.batching import to_device
+from gat_recommendation_tpu.models import create_model
+from gat_recommendation_tpu.train.losses import create_loss_function
+from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+from gat_recommendation_tpu.train.trainer import make_sparse_train_step, make_train_step
+
+from tests.conftest import make_dummy_batch
+
+
+@pytest.mark.parametrize("model_name", ["graphsage", "gat", "graph_transformer_optimized"])
+@pytest.mark.parametrize("loss_type", ["dual", "bpr"])
+def test_sparse_step_matches_dense(model_name, loss_type):
+    kwargs = dict(embedding_dim=16, hidden_dim=16, dropout=0.0)
+    if model_name == "graph_transformer_optimized":
+        kwargs["laplacian_k"] = 4
+    if model_name == "gat":
+        kwargs["num_heads"] = 2
+    model = create_model(model_name, num_items=100, **kwargs)
+    params, state = model.init_params(jax.random.key(0))
+    if model.uses_laplacian_pe:
+        state = model.precompute_pe(state, np.arange(1, 30), np.arange(2, 31))
+    batch = to_device(make_dummy_batch())
+    loss_fn = create_loss_function(loss_type)
+
+    # Dense reference: plain optax adamw.
+    opt_a = optax.adamw(1e-3, weight_decay=1e-5)
+    step_a = make_train_step(model, loss_fn, opt_a)
+    pa, sa, oa = params, state, opt_a.init(params)
+
+    # Sparse path.
+    opt_b = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
+    step_b = make_sparse_train_step(model, loss_fn, opt_b)
+    pb, sb, ob = params, state, opt_b.init(params)
+
+    # One step: must match essentially exactly (same math, same grads).
+    r = jax.random.key(10)
+    pa, sa, oa, loss_a = step_a(pa, sa, oa, batch, r)
+    pb, sb, ob, loss_b = step_b(pb, sb, ob, batch, r)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
+    for la, lb in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
+
+    # Multi-step: Adam normalizes near-zero gradients to ±lr, so float
+    # associativity noise (≈1e-8) amplifies chaotically in individual bias
+    # params — compare the LOSS trajectory, which stays tight.
+    for i in range(1, 4):
+        r = jax.random.key(10 + i)
+        pa, sa, oa, loss_a = step_a(pa, sa, oa, batch, r)
+        pb, sb, ob, loss_b = step_b(pb, sb, ob, batch, r)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(pa["item_embedding"]), np.asarray(pb["item_embedding"]),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_sparse_step_padding_row_stays_zero():
+    model = create_model("graphsage", num_items=80, embedding_dim=8, hidden_dim=8)
+    params, state = model.init_params(jax.random.key(0))
+    opt = FusedEmbeddingAdamW(1e-2, weight_decay=1e-2, use_pallas=False)
+    step = make_sparse_train_step(model, create_loss_function("dual"), opt)
+    ost = opt.init(params)
+    batch = to_device(make_dummy_batch())
+    for i in range(3):
+        params, state, ost, _ = step(params, state, ost, batch, jax.random.key(i))
+    assert float(jnp.abs(params["item_embedding"][0]).sum()) == 0.0
