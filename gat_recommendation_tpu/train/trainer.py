@@ -216,11 +216,15 @@ class Trainer:
         """One epoch. Losses stay on device until the end of the epoch —
         per-step host readbacks would serialize the pipeline (and cost ~1s
         each through remote-TPU relays)."""
+        from gat_recommendation_tpu.data.batching import prefetch_to_device
+
         losses = []
         root = jax.random.key(self.seed)
         epoch_rng = jax.random.fold_in(root, self.current_epoch)
-        for step, batch in enumerate(self.train_batches(self.current_epoch)):
-            dbatch = self._to_device(batch)
+        batches = prefetch_to_device(
+            self.train_batches(self.current_epoch), size=2, transfer=self._to_device
+        )
+        for step, dbatch in enumerate(batches):
             rng = jax.random.fold_in(epoch_rng, step)
             params, state, opt_state, loss = self._train_step(
                 params, state, opt_state, dbatch, rng
@@ -234,14 +238,21 @@ class Trainer:
         return params, state, opt_state, avg
 
     def evaluate(self, params, state) -> dict:
-        preds, targets = [], []
+        # Keep per-batch top-k on device; one concatenated readback at the
+        # end (per-batch readbacks serialize the pipeline).
+        device_tops, masks, targets = [], [], []
         for batch in self.val_batches():
-            top = np.asarray(self._eval_step(params, state, self._to_device(batch)))
-            mask = np.asarray(batch.sample_mask)
-            preds.append(top[mask])
-            targets.append(np.asarray(batch.targets)[mask])
-        predictions = np.concatenate(preds) if preds else np.zeros((0, max(self.k_values)), int)
-        targets_arr = np.concatenate(targets) if targets else np.zeros((0,), int)
+            device_tops.append(self._eval_step(params, state, self._to_device(batch)))
+            masks.append(np.asarray(batch.sample_mask))
+            targets.append(np.asarray(batch.targets))
+        if not device_tops:
+            predictions = np.zeros((0, max(self.k_values)), int)
+            targets_arr = np.zeros((0,), int)
+        else:
+            all_tops = np.asarray(jnp.concatenate(device_tops, axis=0))
+            mask = np.concatenate(masks)
+            predictions = all_tops[mask]
+            targets_arr = np.concatenate(targets)[mask]
 
         metrics = {}
         for k in self.k_values:
