@@ -1,0 +1,394 @@
+"""Bucketed fixed-shape session-graph batching — the TPU foundation layer.
+
+Replaces the reference's SessionDataset + collate_fn (etpgt/train/
+dataloader.py:12-241): instead of dynamic-shaped PyG Batch objects built by
+per-edge Python loops, every batch here is a fixed-shape `SessionBatch` whose
+node count is padded to one of a small set of buckets, so each (batch_size,
+bucket) pair compiles exactly once under jit (SURVEY.md §7 hard part #1).
+
+Design:
+  * the co-occurrence graph is pre-indexed as CSR adjacency (vs the
+    reference's pandas `isin` over the full 738k-edge DataFrame per sample,
+    dataloader.py:126-154);
+  * the per-session induced subgraph is a dense boolean adjacency
+    `adj[b, dst, src]` over the bucket's node slots — message passing then
+    runs as masked MXU matmuls, never gather/scatter;
+  * negatives are rejection-sampled from [1, num_items) excluding the full
+    session (reference _sample_negatives parity, dataloader.py:107-124);
+  * two assembly engines produce byte-identical batches (modulo the
+    negative-sampling stream): `numpy` (reference implementation below) and
+    `native` (C++ via ctypes, native/batcher.cpp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from pathlib import Path
+
+import jax
+import numpy as np
+
+# Node-count buckets. Sessions are truncated to the last 50 events
+# (reference dataloader.py:85-86), so unique context nodes <= 49 < 56; the
+# largest bucket always fits and bigger node sets are truncated.
+DEFAULT_BUCKETS = (8, 16, 32, 56)
+
+
+def pick_bucket(n: int, buckets=DEFAULT_BUCKETS) -> int:
+    """Smallest bucket >= n; the largest bucket if none fits (truncation)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+# ---------------------------------------------------------------------------
+# SessionBatch — the fixed-shape unit of work
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SessionBatch:
+    """One fixed-shape batch of padded session graphs (a jax pytree).
+
+    node_ids    [B, N] int32 — global item ids, ascending per session, 0-padded
+    node_mask   [B, N] bool  — valid node slots
+    adj         [B, N, N] bool — adj[b, dst, src] = edge src->dst (local ids)
+    num_nodes   [B] int32    — valid node count per session
+    targets     [B] int32    — next-item label (last session event)
+    negatives   [B, K] int32 — sampled negative item ids
+    sample_mask [B] bool     — valid samples (False = batch padding slot)
+    """
+
+    node_ids: np.ndarray
+    node_mask: np.ndarray
+    adj: np.ndarray
+    num_nodes: np.ndarray
+    targets: np.ndarray
+    negatives: np.ndarray
+    sample_mask: np.ndarray
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.node_ids.shape[0])
+
+    @property
+    def nodes_per_session(self) -> int:
+        return int(self.node_ids.shape[1])
+
+
+def to_device(batch: SessionBatch, device=None) -> SessionBatch:
+    """Move a host batch onto the (default) device as jax arrays."""
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), device), batch)
+
+
+def prefetch_to_device(iterator, size: int = 2, transfer=to_device):
+    """Iterate `iterator`, transferring `size` batches ahead on a background
+    thread so host batch assembly and host->device copies overlap device
+    compute (the reference relies on torch DataLoader workers for the same
+    overlap, dataloader.py:235-241)."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    error: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(transfer(item))
+        except BaseException as e:  # propagate to the consumer thread
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
+# ---------------------------------------------------------------------------
+# CSR graph + induced subgraphs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CSRGraph:
+    """Directed CSR adjacency over global item ids (rows sorted)."""
+
+    indptr: np.ndarray  # [num_items + 1] int64
+    indices: np.ndarray  # [num_edges] int32
+    num_items: int
+
+
+def build_csr(item_i, item_j, num_items: int) -> CSRGraph:
+    """CSR from directed edges item_i -> item_j (duplicates preserved).
+
+    The co-occurrence graph stores canonical (min, max) edges once
+    (reference 04_build_graph.py:63-71); like the reference's subgraph
+    builder we do NOT symmetrize — direction semantics are the model's
+    concern, parity first."""
+    item_i = np.asarray(item_i, dtype=np.int64)
+    item_j = np.asarray(item_j, dtype=np.int64)
+    order = np.lexsort((item_j, item_i))
+    si, sj = item_i[order], item_j[order]
+    counts = np.bincount(si, minlength=num_items)
+    indptr = np.zeros(num_items + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return CSRGraph(indptr=indptr, indices=sj.astype(np.int32), num_items=num_items)
+
+
+def induced_edges(graph: CSRGraph, nodes) -> tuple[np.ndarray, np.ndarray]:
+    """Edges of the subgraph induced by `nodes` (sorted unique global ids).
+
+    Returns (src_local, dst_local) int32 arrays indexing into `nodes`.
+    Vectorized CSR row gather + searchsorted membership — replaces the
+    reference's pandas isin over the full edge list (dataloader.py:126-154).
+    """
+    nodes = np.asarray(nodes, dtype=np.int64)
+    empty = np.zeros(0, dtype=np.int32)
+    if len(nodes) == 0:
+        return empty, empty
+    starts = graph.indptr[nodes]
+    counts = graph.indptr[nodes + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return empty, empty
+    # Flat positions of every CSR entry belonging to a row in `nodes`.
+    row_offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat = np.repeat(starts - row_offsets, counts) + np.arange(total)
+    dst_items = graph.indices[flat].astype(np.int64)
+    src_local = np.repeat(np.arange(len(nodes), dtype=np.int32), counts)
+    pos = np.searchsorted(nodes, dst_items)
+    ok = (pos < len(nodes)) & (nodes[np.minimum(pos, len(nodes) - 1)] == dst_items)
+    return src_local[ok], pos[ok].astype(np.int32)
+
+
+def sample_negatives(rng: np.random.Generator, exclude, num_items: int, k: int) -> np.ndarray:
+    """k negatives from [1, num_items) excluding `exclude` (rejection
+    sampling; duplicates among negatives allowed — reference
+    dataloader.py:107-124 parity)."""
+    out = np.empty(k, dtype=np.int32)
+    got = 0
+    while got < k:
+        # Draw in blocks; sessions exclude a tiny fraction of the catalog.
+        cands = rng.integers(1, num_items, size=max(2 * (k - got), 8))
+        for c in cands:
+            if int(c) not in exclude:
+                out[got] = c
+                got += 1
+                if got == k:
+                    break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class SessionDataset:
+    """Pre-indexed sessions + CSR graph (reference SessionDataset parity,
+    dataloader.py:22-154, re-designed for zero per-sample pandas work).
+
+    sessions: CSV path or DataFrame with columns session_id/timestamp/itemid.
+    edges: (item_i, item_j) arrays (from data.graph.load_edges).
+    Sessions are ordered by sorted session_id (reference groupby parity);
+    each is time-sorted and truncated to the LAST max_session_length events.
+    """
+
+    def __init__(
+        self,
+        sessions,
+        edges: tuple,
+        num_negatives: int = 5,
+        max_session_length: int = 50,
+        num_items: int | None = None,
+    ):
+        import pandas as pd
+
+        if isinstance(sessions, (str, Path)):
+            df = pd.read_csv(sessions)
+        else:
+            df = sessions
+        df = df.sort_values(["session_id", "timestamp"], kind="stable")
+
+        self.num_negatives = num_negatives
+        self.max_session_length = max_session_length
+
+        codes, self.session_ids = pd.factorize(df["session_id"], sort=True)
+        items_all = df["itemid"].to_numpy(np.int64)
+        counts = np.bincount(codes, minlength=len(self.session_ids))
+        ends_all = np.cumsum(counts)
+        starts_all = ends_all - counts
+
+        # Truncate to the last max_session_length events (vectorized).
+        keep_len = np.minimum(counts, max_session_length)
+        pos = np.arange(len(df)) - starts_all[codes]
+        keep = pos >= (counts - keep_len)[codes]
+        self.items = items_all[keep]
+        self.offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(keep_len, out=self.offsets[1:])
+
+        item_i, item_j = edges
+        item_i = np.asarray(item_i, dtype=np.int64)
+        item_j = np.asarray(item_j, dtype=np.int64)
+        if num_items is None:
+            # Reference parity: raw max id + 1 across sessions and edges
+            # (dataloader.py:51-58) — NOT the count of connected nodes.
+            num_items = int(
+                max(
+                    items_all.max(initial=0),
+                    item_i.max(initial=0),
+                    item_j.max(initial=0),
+                )
+            ) + 1
+        self.num_items = num_items
+        self.graph = build_csr(item_i, item_j, num_items)
+
+        # Per-session unique-context-node counts (bucket assignment),
+        # vectorized: lexsort (session, item) then count segment-uniques.
+        ctx_sess = np.repeat(np.arange(len(counts)), np.maximum(keep_len - 1, 0))
+        last_of = self.offsets[1:] - 1
+        ctx_mask = np.ones(len(self.items), dtype=bool)
+        ctx_mask[last_of[keep_len > 0]] = False
+        ctx_items = self.items[ctx_mask]
+        if len(ctx_items):
+            order = np.lexsort((ctx_items, ctx_sess))
+            s, it = ctx_sess[order], ctx_items[order]
+            new = np.ones(len(s), dtype=bool)
+            new[1:] = (s[1:] != s[:-1]) | (it[1:] != it[:-1])
+            self.unique_counts = np.bincount(s[new], minlength=len(counts)).astype(np.int32)
+        else:
+            self.unique_counts = np.zeros(len(counts), dtype=np.int32)
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    def session_items(self, idx: int) -> np.ndarray:
+        """Time-ordered (truncated) item ids of session `idx`."""
+        return self.items[self.offsets[idx] : self.offsets[idx + 1]]
+
+    def sample(self, idx: int, rng: np.random.Generator) -> dict:
+        """One training sample: sorted-unique context nodes, induced local
+        edges, last event as target, rejection-sampled negatives."""
+        items = self.session_items(idx)
+        target = int(items[-1])
+        nodes = np.unique(items[:-1])
+        src, dst = induced_edges(self.graph, nodes)
+        negatives = sample_negatives(
+            rng, set(items.tolist()), self.num_items, self.num_negatives
+        )
+        return {
+            "nodes": nodes.astype(np.int32),
+            "edge_src": src,
+            "edge_dst": dst,
+            "target": target,
+            "negatives": negatives,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Collate + epoch iteration
+# ---------------------------------------------------------------------------
+
+
+def collate(samples: list, bucket_n: int, num_negatives: int) -> SessionBatch:
+    """Assemble fixed-shape arrays from per-session samples (None = padding
+    slot). Nodes beyond bucket_n are truncated with their edges dropped
+    (never triggered at max_session_length=50 with the default buckets)."""
+    B = len(samples)
+    node_ids = np.zeros((B, bucket_n), dtype=np.int32)
+    node_mask = np.zeros((B, bucket_n), dtype=bool)
+    adj = np.zeros((B, bucket_n, bucket_n), dtype=bool)
+    num_nodes = np.zeros(B, dtype=np.int32)
+    targets = np.zeros(B, dtype=np.int32)
+    negatives = np.zeros((B, num_negatives), dtype=np.int32)
+    sample_mask = np.zeros(B, dtype=bool)
+
+    for b, s in enumerate(samples):
+        if s is None:
+            continue
+        nodes = np.asarray(s["nodes"])[:bucket_n]
+        n = len(nodes)
+        node_ids[b, :n] = nodes
+        node_mask[b, :n] = True
+        num_nodes[b] = n
+        src = np.asarray(s["edge_src"])
+        dst = np.asarray(s["edge_dst"])
+        if len(src):
+            ok = (src < n) & (dst < n)
+            adj[b, dst[ok], src[ok]] = True
+        targets[b] = s["target"]
+        negatives[b] = np.asarray(s["negatives"])[:num_negatives]
+        sample_mask[b] = True
+
+    return SessionBatch(
+        node_ids=node_ids,
+        node_mask=node_mask,
+        adj=adj,
+        num_nodes=num_nodes,
+        targets=targets,
+        negatives=negatives,
+        sample_mask=sample_mask,
+    )
+
+
+def _resolve_engine(engine: str) -> str:
+    if engine == "auto":
+        from gat_recommendation_tpu.data import native
+
+        return "native" if native.available() else "numpy"
+    if engine not in ("numpy", "native"):
+        raise ValueError(f"Unknown batching engine: {engine}")
+    return engine
+
+
+def iterate_batches(
+    dataset: SessionDataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    engine: str = "auto",
+    buckets=DEFAULT_BUCKETS,
+):
+    """Yield SessionBatches covering one epoch.
+
+    Sessions are grouped by node-count bucket (ascending bucket order, each
+    bucket's sessions in epoch-shuffled order); every batch has exactly
+    `batch_size` slots, remainders padded with masked samples. Both engines
+    produce identical grouping/shapes; negatives differ by RNG stream
+    (numpy PCG vs native SplitMix64 — statistically equivalent)."""
+    engine = _resolve_engine(engine)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
+
+    by_bucket: dict[int, list[int]] = {b: [] for b in buckets}
+    for i in order:
+        by_bucket[pick_bucket(int(dataset.unique_counts[i]), buckets)].append(int(i))
+
+    if engine == "native":
+        from gat_recommendation_tpu.data import native
+
+    batch_index = 0
+    for bucket_n in buckets:
+        idxs = by_bucket[bucket_n]
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo : lo + batch_size]
+            if engine == "native":
+                batch_seed = (np.uint64(seed) << np.uint64(20)) + np.uint64(batch_index)
+                yield native.assemble_batch(
+                    dataset, chunk, batch_size, bucket_n, int(batch_seed)
+                )
+            else:
+                samples = [dataset.sample(i, rng) for i in chunk]
+                samples += [None] * (batch_size - len(chunk))
+                yield collate(samples, bucket_n, dataset.num_negatives)
+            batch_index += 1

@@ -1,0 +1,159 @@
+"""ctypes bindings for the C++ batch-assembly engine (native/batcher.cpp).
+
+The host input pipeline is the framework's real bottleneck at TPU step rates
+(SURVEY.md §7 hard part #7). `available()` lazily loads native/libbatcher.so,
+attempting a one-shot `make -C native` build if the library is absent and a
+toolchain exists; all callers fall back to the numpy engine on failure.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libbatcher.so"
+
+_lib = None
+_load_attempted = False
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _load():
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR), "libbatcher.so"],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.build_csr.restype = None
+    lib.build_csr.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.assemble_batch.restype = None
+    lib.assemble_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),  # items
+        ctypes.POINTER(ctypes.c_int64),  # offsets
+        ctypes.c_int64,  # batch_size
+        ctypes.POINTER(ctypes.c_int64),  # indptr
+        ctypes.POINTER(ctypes.c_int32),  # indices
+        ctypes.c_int64,  # num_items
+        ctypes.c_int64,  # bucket_n
+        ctypes.c_int64,  # num_negatives
+        ctypes.c_uint64,  # seed
+        ctypes.POINTER(ctypes.c_int32),  # node_ids
+        ctypes.POINTER(ctypes.c_uint8),  # node_mask
+        ctypes.POINTER(ctypes.c_uint8),  # adj
+        ctypes.POINTER(ctypes.c_int32),  # num_nodes
+        ctypes.POINTER(ctypes.c_int32),  # targets
+        ctypes.POINTER(ctypes.c_int32),  # negatives
+        ctypes.POINTER(ctypes.c_uint8),  # sample_mask
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_csr(item_i, item_j, num_items: int) -> tuple[np.ndarray, np.ndarray]:
+    """Native CSR build: returns (indptr int64 [V+1], indices int32 [E])."""
+    lib = _load()
+    assert lib is not None, "libbatcher.so unavailable"
+    item_i = np.ascontiguousarray(item_i, dtype=np.int64)
+    item_j = np.ascontiguousarray(item_j, dtype=np.int64)
+    indptr = np.zeros(num_items + 1, dtype=np.int64)
+    indices = np.zeros(len(item_i), dtype=np.int32)
+    lib.build_csr(
+        _i64p(item_i), _i64p(item_j), len(item_i), num_items, _i64p(indptr), _i32p(indices)
+    )
+    return indptr, indices
+
+
+def assemble_batch(dataset, chunk: list, batch_size: int, bucket_n: int, seed: int):
+    """Assemble one fixed-shape SessionBatch for session indices `chunk`
+    (padded with empty slots to batch_size) via the C++ engine."""
+    from gat_recommendation_tpu.data.batching import SessionBatch
+
+    lib = _load()
+    assert lib is not None, "libbatcher.so unavailable"
+
+    # Flat items + offsets for the selected sessions; padding slots are
+    # empty ranges (offsets[b] == offsets[b+1]).
+    lengths = np.zeros(batch_size, dtype=np.int64)
+    for b, idx in enumerate(chunk):
+        lengths[b] = dataset.offsets[idx + 1] - dataset.offsets[idx]
+    offsets = np.zeros(batch_size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    items = np.zeros(int(offsets[-1]), dtype=np.int64)
+    for b, idx in enumerate(chunk):
+        items[offsets[b] : offsets[b + 1]] = dataset.session_items(idx)
+
+    K = dataset.num_negatives
+    node_ids = np.zeros((batch_size, bucket_n), dtype=np.int32)
+    node_mask = np.zeros((batch_size, bucket_n), dtype=np.uint8)
+    adj = np.zeros((batch_size, bucket_n, bucket_n), dtype=np.uint8)
+    num_nodes = np.zeros(batch_size, dtype=np.int32)
+    targets = np.zeros(batch_size, dtype=np.int32)
+    negatives = np.zeros((batch_size, K), dtype=np.int32)
+    sample_mask = np.zeros(batch_size, dtype=np.uint8)
+
+    lib.assemble_batch(
+        _i64p(items),
+        _i64p(offsets),
+        batch_size,
+        _i64p(dataset.graph.indptr),
+        _i32p(dataset.graph.indices),
+        dataset.num_items,
+        bucket_n,
+        K,
+        ctypes.c_uint64(seed),
+        _i32p(node_ids),
+        _u8p(node_mask),
+        _u8p(adj),
+        _i32p(num_nodes),
+        _i32p(targets),
+        _i32p(negatives),
+        _u8p(sample_mask),
+    )
+    return SessionBatch(
+        node_ids=node_ids,
+        node_mask=node_mask.astype(bool),
+        adj=adj.astype(bool),
+        num_nodes=num_nodes,
+        targets=targets,
+        negatives=negatives,
+        sample_mask=sample_mask.astype(bool),
+    )
