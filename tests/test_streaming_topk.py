@@ -1,0 +1,77 @@
+"""Full-catalog top-k selectors: equivalence with the dense lax.top_k oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gat_recommendation_tpu.ops import scoring
+
+
+def make(V, D=16, B=4, seed=0):
+    rng = np.random.default_rng(seed)
+    sess = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    return sess, table
+
+
+# Small catalogs route to the dense fallback; force the two-level path by
+# dropping the threshold.
+@pytest.fixture(autouse=True)
+def low_threshold(monkeypatch):
+    monkeypatch.setattr(scoring, "MIN_ROWS_FOR_TWO_LEVEL", 64)
+
+
+@pytest.mark.parametrize("V,chunk", [(128, 8), (512, 16), (1024, 32), (4096, 32)])
+def test_two_level_matches_dense(V, chunk):
+    sess, table = make(V)
+    want_s, want_i = scoring.dense_topk(sess, table, 10)
+    got_s, got_i = scoring.two_level_topk(sess, table, 10, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_two_level_phantom_rows_masked():
+    sess, table = make(256, seed=1)
+    num_items = 200  # rows 200..255 are phantom padding
+    want_s, want_i = scoring.dense_topk(sess, table, 20, num_items)
+    got_s, got_i = scoring.two_level_topk(sess, table, 20, num_items, chunk=8)
+    assert (np.asarray(got_i) < num_items).all()
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_two_level_ties_resolve_to_lowest_index():
+    sess = jnp.ones((1, 4), jnp.float32)
+    table = jnp.ones((320, 4), jnp.float32)  # all scores equal
+    _, got_i = scoring.two_level_topk(sess, table, 5, chunk=8)
+    np.testing.assert_array_equal(np.asarray(got_i)[0], np.arange(5))
+
+
+def test_two_level_fallbacks():
+    # Indivisible V and tiny catalogs fall back to dense (still correct).
+    sess, table = make(100, seed=2)
+    want_s, want_i = scoring.dense_topk(sess, table, 10)
+    got_s, got_i = scoring.two_level_topk(sess, table, 10, chunk=32)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_approx_contains_reasonable_candidates():
+    sess, table = make(2048, seed=3)
+    want_s, want_i = scoring.dense_topk(sess, table, 10)
+    got_s, got_i = scoring.approx_topk(sess, table, 10, candidates=512)
+    # With L=512 of V=2048 the approx top-10 should agree almost always.
+    agree = (np.asarray(got_i) == np.asarray(want_i)).mean()
+    assert agree > 0.9, agree
+
+
+@pytest.mark.parametrize("method", ["auto", "dense", "two_level", "approx"])
+def test_dispatch_shapes(method):
+    sess, table = make(512, seed=4)
+    s, i = scoring.full_catalog_topk(sess, table, 7, method=method)
+    assert s.shape == (4, 7) and i.shape == (4, 7)
+    assert i.dtype == jnp.int32
+
+
+def test_dispatch_rejects_unknown():
+    sess, table = make(128)
+    with pytest.raises(ValueError):
+        scoring.full_catalog_topk(sess, table, 5, method="nope")
