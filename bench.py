@@ -62,12 +62,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import optax
-
-    from gat_recommendation_tpu.data.batching import to_device
+    from gat_recommendation_tpu.data.batching import make_grad_index, to_device
     from gat_recommendation_tpu.models import create_model
     from gat_recommendation_tpu.train.losses import dual_loss
-    from gat_recommendation_tpu.train.trainer import make_train_step
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+    from gat_recommendation_tpu.train.trainer import make_sparse_train_step
 
     num_items = 466_865  # reference catalog size
     batch_size = 512
@@ -79,14 +78,17 @@ def main():
     )
     params, state = model.init_params(jax.random.key(0))
     state = {**state, "cached_pe": jnp.zeros((params["item_embedding"].shape[0], model.config.laplacian_k))}
-    # Measured fastest configuration: XLA fuses the optax AdamW chain over
-    # the 478 MB table better than the standalone Pallas kernel (which pays
-    # defensive input copies at the jit boundary) — see docs/PERFORMANCE.md.
-    optimizer = optax.adamw(1e-3, weight_decay=1e-5)
+    # Measured fastest configuration: sparse embedding gradients (the dense
+    # step's [V, D] backward scatter costs ~8 ms alone) + scatter-first AdamW
+    # with host-precomputed duplicate grouping — see docs/PERFORMANCE.md.
+    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
     opt_state = optimizer.init(params)
-    step = make_train_step(model, dual_loss, optimizer, donate=True)
+    step = make_sparse_train_step(model, dual_loss, optimizer, donate=True)
 
-    dev_batches = [to_device(hb) for hb in make_batches(num_items, batch_size, 12)]
+    dev_batches = [
+        (to_device(hb), make_grad_index(hb))
+        for hb in make_batches(num_items, batch_size, 12)
+    ]
     rng = jax.random.key(0)
 
     # Warmup: compile every bucket shape, then fence.

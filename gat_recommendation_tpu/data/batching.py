@@ -26,6 +26,7 @@ import dataclasses
 import queue
 import threading
 from pathlib import Path
+from typing import NamedTuple
 
 import jax
 import numpy as np
@@ -339,6 +340,45 @@ def collate(samples: list, bucket_n: int, num_negatives: int) -> SessionBatch:
         negatives=negatives,
         sample_mask=sample_mask,
     )
+
+
+class GradIndex(NamedTuple):
+    """Host-precomputed index for sparse embedding gradients.
+
+    The sparse train step differentiates w.r.t. the gathered embedding rows
+    only; turning those row grads into per-unique-id sums needs a sort —
+    which costs ~1.6 ms/step on TPU (bitonic) but microseconds on the host,
+    where the ids are already sitting in the batch. Fields (R = B*(N+1+K)):
+
+    ids  [R] — concat(node_ids.flat, targets, negatives.flat)
+    perm [R] — stable argsort of ids
+    seg  [R] — segment number of each sorted slot (equal ids share one)
+    uid  [R] — unique id per segment, 0-padded tail
+    """
+
+    ids: np.ndarray
+    perm: np.ndarray
+    seg: np.ndarray
+    uid: np.ndarray
+
+
+def make_grad_index(batch: SessionBatch) -> GradIndex:
+    """Build the sparse-gradient index on the host (numpy) from a host batch."""
+    ids = np.concatenate(
+        [
+            np.asarray(batch.node_ids).reshape(-1),
+            np.asarray(batch.targets),
+            np.asarray(batch.negatives).reshape(-1),
+        ]
+    ).astype(np.int32)
+    perm = np.argsort(ids, kind="stable").astype(np.int32)
+    sid = ids[perm]
+    is_new = np.ones(len(sid), dtype=bool)
+    is_new[1:] = sid[1:] != sid[:-1]
+    seg = (np.cumsum(is_new) - 1).astype(np.int32)
+    uid = np.zeros(len(sid), np.int32)
+    uid[seg] = sid
+    return GradIndex(ids=ids, perm=perm, seg=seg, uid=uid)
 
 
 def _resolve_engine(engine: str) -> str:

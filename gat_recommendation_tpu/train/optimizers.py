@@ -89,37 +89,31 @@ class FusedEmbeddingAdamW:
         new_state = {"emb_mu": mu, "emb_nu": nu, "count": count, "rest": new_rest_state}
         return new_params, new_state
 
-    def update_sparse(self, g_rest: dict, ids: jax.Array, row_grads: jax.Array,
+    def update_sparse(self, g_rest: dict, uid: jax.Array, summed: jax.Array,
                       state: dict, params: dict):
-        """Sparse embedding update: the table gradient arrives as (ids, rows)
-        instead of a dense [V, D] array (which XLA would otherwise
-        materialize via scatter every step).
+        """Sparse embedding update: the table gradient arrives pre-reduced as
+        (uid, summed) — unique row ids plus their summed gradient rows, built
+        by make_sparse_train_step from the host-computed GradIndex — instead
+        of a dense [V, D] array that XLA would materialize via scatter.
 
-        Math is exactly AdamW: moments decay densely (all rows), the sparse
-        gradient contributions scatter-add into the decayed moments, then one
-        dense pass computes the weight update. ~8 HBM passes over the table
-        vs ~13 for the optax chain + dense-grad materialization.
+        Math is exactly AdamW, restructured scatter-FIRST so the dense tail
+        (decay + bias correction + weight update) stays one fused HBM pass:
+        contributions are pre-divided by the decay factor and added into the
+        (donated, updated-in-place) moments; the decay multiply then yields
+        b*m + (1-b)*g for touched rows and b*m for the rest. Measured on TPU
+        v5e at the reference table (466,880x256): 5.6 ms vs 6.9 ms for
+        decay-then-scatter (the remaining gap to the 4.4 ms scatter-free
+        floor is one scatter-forced buffer copy).
         """
         table, p_rest = self._split(params)
         count = state["count"] + 1
 
-        # Accumulate duplicate ids BEFORE squaring: AdamW's second moment uses
-        # (sum of contributions)^2, not sum of squares. Sort + segment-sum with
-        # a static bound keeps this jit-friendly; unused tail slots carry zero
-        # gradients aimed at row 0 (harmless: += 0).
-        R = ids.shape[0]
-        order = jnp.argsort(ids)
-        sid = ids[order]
-        sval = row_grads[order]
-        is_new = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-        seg = jnp.cumsum(is_new) - 1
-        summed = jax.ops.segment_sum(sval, seg, num_segments=R)
-        uid = jnp.zeros((R,), ids.dtype).at[seg].set(sid)
-
-        mu = self.b1 * state["emb_mu"]
-        nu = self.b2 * state["emb_nu"]
-        mu = mu.at[uid].add((1.0 - self.b1) * summed)
-        nu = nu.at[uid].add((1.0 - self.b2) * jnp.square(summed))
+        mu = state["emb_mu"].at[uid].add((1.0 - self.b1) / self.b1 * summed)
+        nu = state["emb_nu"].at[uid].add(
+            (1.0 - self.b2) / self.b2 * jnp.square(summed)
+        )
+        mu = self.b1 * mu
+        nu = self.b2 * nu
 
         c = count.astype(jnp.float32)
         mu_hat = mu / (1.0 - jnp.power(self.b1, c))

@@ -73,20 +73,25 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
 
     All embedding rows the step touches (session nodes + targets + negatives)
     are gathered ONCE up front; the loss is differentiated w.r.t. those rows,
-    so the dense [V, D] table gradient never materializes. Requires an
-    optimizer with `update_sparse` (FusedEmbeddingAdamW) and a loss with
-    `.from_embeddings` (all built-in losses).
+    so the dense [V, D] table gradient never materializes (its backward
+    scatter is ~8 ms/step at the reference table on TPU v5e — the single
+    largest cost in the dense step). Duplicate-row grouping uses the
+    host-precomputed GradIndex (data/batching.make_grad_index): sorting the
+    ids costs ~1.6 ms on-device (bitonic) but ~50 us on the host.
+
+    Requires an optimizer with `update_sparse` (FusedEmbeddingAdamW) and a
+    loss with `.from_embeddings` (all built-in losses). The returned step
+    accepts either a SessionBatch (index built on the fly, convenient for
+    tests) or a (SessionBatch, GradIndex) tuple (the Trainer hot path).
     """
     assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
 
-    def step(params, state, opt_state, batch, rng):
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step(params, state, opt_state, batch, gidx, rng):
         B, N = batch.node_ids.shape
         K = batch.negatives.shape[1]
-        ids = jnp.concatenate(
-            [batch.node_ids.reshape(-1), batch.targets, batch.negatives.reshape(-1)]
-        )
         table = jax.lax.stop_gradient(params["item_embedding"])
-        rows0 = table[ids]
+        rows0 = table[gidx.ids]
         other = {k_: v for k_, v in params.items() if k_ != "item_embedding"}
 
         def loss_inner(other_params, rows):
@@ -106,14 +111,29 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
         (loss, new_state), (g_other, g_rows) = jax.value_and_grad(
             loss_inner, argnums=(0, 1), has_aux=True
         )(other, rows0)
-        # padding_idx parity: row 0 never updates.
-        g_rows = jnp.where((ids == 0)[:, None], 0.0, g_rows)
+        # Reduce duplicates (AdamW's second moment needs (sum g)^2, not
+        # sum g^2) with the host-sorted permutation; zero the padding row
+        # (padding_idx parity: row 0 never updates).
+        summed = jax.ops.segment_sum(
+            g_rows[gidx.perm], gidx.seg,
+            num_segments=gidx.ids.shape[0], indices_are_sorted=True,
+        )
+        summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
         new_params, new_opt_state = optimizer.update_sparse(
-            g_other, ids, g_rows, opt_state, params
+            g_other, gidx.uid, summed, opt_state, params
         )
         return new_params, new_state, new_opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+    def wrapper(params, state, opt_state, batch, rng):
+        from gat_recommendation_tpu.data.batching import make_grad_index
+
+        if isinstance(batch, tuple):
+            batch, gidx = batch
+        else:
+            gidx = make_grad_index(batch)
+        return step(params, state, opt_state, batch, gidx, rng)
+
+    return wrapper
 
 
 def make_eval_step(model, k: int, topk_method: str = "auto") -> Callable:
@@ -154,12 +174,18 @@ class Trainer:
         loss_fn=None,
         seed: int = 42,
         mesh=None,
+        sparse_embedding_grads: bool = False,
     ):
         from gat_recommendation_tpu.train.losses import bpr_loss
 
         self.model = model
         self.train_batches = train_batches
         self.val_batches = val_batches
+        self.sparse_embedding_grads = sparse_embedding_grads and mesh is None
+        if optimizer is None and self.sparse_embedding_grads:
+            from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+            optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
         self.optimizer = optimizer or optax.adamw(1e-3, weight_decay=1e-5)
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -186,6 +212,11 @@ class Trainer:
                 self.model, self.loss_fn, self.optimizer, mesh
             )
             self._eval_step = make_sharded_eval_step(self.model, max(self.k_values), mesh)
+        elif self.sparse_embedding_grads:
+            self._train_step = make_sparse_train_step(
+                self.model, self.loss_fn, self.optimizer, donate=True
+            )
+            self._eval_step = make_eval_step(self.model, max(self.k_values))
         else:
             self._train_step = make_train_step(
                 self.model, self.loss_fn, self.optimizer, donate=True
@@ -224,8 +255,16 @@ class Trainer:
         losses = []
         root = jax.random.key(self.seed)
         epoch_rng = jax.random.fold_in(root, self.current_epoch)
+        if self.sparse_embedding_grads:
+            from gat_recommendation_tpu.data.batching import make_grad_index
+
+            # Build the sparse-gradient index on the host (numpy argsort is
+            # ~us-scale) before the device transfer, alongside the batch.
+            transfer = lambda hb: (self._to_device(hb), make_grad_index(hb))  # noqa: E731
+        else:
+            transfer = self._to_device
         batches = prefetch_to_device(
-            self.train_batches(self.current_epoch), size=2, transfer=self._to_device
+            self.train_batches(self.current_epoch), size=2, transfer=transfer
         )
         for step, dbatch in enumerate(batches):
             rng = jax.random.fold_in(epoch_rng, step)

@@ -74,3 +74,43 @@ def test_sparse_step_padding_row_stays_zero():
     for i in range(3):
         params, state, ost, _ = step(params, state, ost, batch, jax.random.key(i))
     assert float(jnp.abs(params["item_embedding"][0]).sum()) == 0.0
+
+
+def test_trainer_sparse_mode_matches_dense_metrics(tmp_path):
+    """Trainer(sparse_embedding_grads=True) trains to the same result."""
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for s in range(40):
+        for t in range(int(rng.integers(3, 9))):
+            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 50))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    edges = (rng.integers(1, 50, 120), rng.integers(1, 50, 120))
+    ds = SessionDataset(df, edges)
+
+    results = {}
+    for sparse in (False, True):
+        model = create_model("graphsage", num_items=ds.num_items,
+                             embedding_dim=16, hidden_dim=16, dropout=0.0)
+        trainer = Trainer(
+            model,
+            train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+            val_batches=lambda: iterate_batches(ds, 8),
+            output_dir=tmp_path / f"sparse_{sparse}",
+            max_epochs=2, eval_every=1,
+            sparse_embedding_grads=sparse,
+        )
+        hist = trainer.train()
+        results[sparse] = hist
+    np.testing.assert_allclose(
+        results[False]["train_loss"], results[True]["train_loss"], rtol=1e-4
+    )
+    # Adam normalizes near-zero grads to +-lr, so 1e-8 associativity noise
+    # can flip a rank near the boundary; metrics agree to ~5e-3.
+    a, b = results[False]["val_metrics"][-1], results[True]["val_metrics"][-1]
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], atol=5e-3, err_msg=key)
