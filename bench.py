@@ -81,7 +81,7 @@ def main():
     # Measured fastest configuration: sparse embedding gradients (the dense
     # step's [V, D] backward scatter costs ~8 ms alone) + scatter-first AdamW
     # with host-precomputed duplicate grouping — see docs/PERFORMANCE.md.
-    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
+    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)  # auto: Pallas kernel on TPU
     opt_state = optimizer.init(params)
     step = make_sparse_train_step(model, dual_loss, optimizer, donate=True)
 

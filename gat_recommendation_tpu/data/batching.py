@@ -342,18 +342,28 @@ def collate(samples: list, bucket_n: int, num_negatives: int) -> SessionBatch:
     )
 
 
+# Sentinel for unused uid slots: out of range of any table, dropped by
+# scatters (mode="drop") and by the fused kernel's searchsorted ranges.
+UID_SENTINEL = np.int32(2**31 - 1)
+
+# The unique-row count is bucketed so summed-gradient shapes stay static
+# per (batch shape, bucket) pair — few compiles, small scatters.
+UNIQUE_BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+
 class GradIndex(NamedTuple):
     """Host-precomputed index for sparse embedding gradients.
 
     The sparse train step differentiates w.r.t. the gathered embedding rows
     only; turning those row grads into per-unique-id sums needs a sort —
     which costs ~1.6 ms/step on TPU (bitonic) but microseconds on the host,
-    where the ids are already sitting in the batch. Fields (R = B*(N+1+K)):
+    where the ids are already sitting in the batch. Fields (R = B*(N+1+K),
+    U = unique-count bucket):
 
     ids  [R] — concat(node_ids.flat, targets, negatives.flat)
     perm [R] — stable argsort of ids
     seg  [R] — segment number of each sorted slot (equal ids share one)
-    uid  [R] — unique id per segment, 0-padded tail
+    uid  [U] — ascending unique ids, UID_SENTINEL-padded tail (U >= uniques)
     """
 
     ids: np.ndarray
@@ -376,8 +386,11 @@ def make_grad_index(batch: SessionBatch) -> GradIndex:
     is_new = np.ones(len(sid), dtype=bool)
     is_new[1:] = sid[1:] != sid[:-1]
     seg = (np.cumsum(is_new) - 1).astype(np.int32)
-    uid = np.zeros(len(sid), np.int32)
-    uid[seg] = sid
+    num_unique = int(seg[-1]) + 1 if len(seg) else 0
+    U = next((b for b in UNIQUE_BUCKETS if num_unique <= b), len(ids))
+    U = min(U, len(ids)) if len(ids) else 1
+    uid = np.full(U, UID_SENTINEL, np.int32)
+    uid[seg] = sid  # ascending uniques (sid is sorted), sentinel tail
     return GradIndex(ids=ids, perm=perm, seg=seg, uid=uid)
 
 

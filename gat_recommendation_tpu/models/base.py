@@ -52,10 +52,12 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 
 # Tables are padded to a row multiple so they row-shard evenly over any
 # reasonable 'model' mesh axis (the real catalog, 466,865, divides by nothing
-# useful). Phantom rows are zero at init, receive zero gradients (no id maps
-# to them), and stay exactly zero under AdamW (zero weight + zero moments) —
-# scoring masks them to -inf (see predict_topk / eval steps).
-TABLE_PAD_MULTIPLE = 64
+# useful) AND tile evenly for Pallas row-tile kernels (the fused sparse
+# AdamW uses 256-row tiles). Phantom rows are zero at init, receive zero
+# gradients (no id maps to them), and stay exactly zero under AdamW (zero
+# weight + zero moments) — scoring masks them to -inf (see predict_topk /
+# eval steps).
+TABLE_PAD_MULTIPLE = 512
 
 
 def padded_rows(num_items: int, multiple: int = TABLE_PAD_MULTIPLE) -> int:

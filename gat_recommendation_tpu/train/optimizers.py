@@ -108,19 +108,34 @@ class FusedEmbeddingAdamW:
         table, p_rest = self._split(params)
         count = state["count"] + 1
 
-        mu = state["emb_mu"].at[uid].add((1.0 - self.b1) / self.b1 * summed)
-        nu = state["emb_nu"].at[uid].add(
-            (1.0 - self.b2) / self.b2 * jnp.square(summed)
-        )
-        mu = self.b1 * mu
-        nu = self.b2 * nu
+        from gat_recommendation_tpu.ops.pallas import sparse_adamw as sk
 
-        c = count.astype(jnp.float32)
-        mu_hat = mu / (1.0 - jnp.power(self.b1, c))
-        nu_hat = nu / (1.0 - jnp.power(self.b2, c))
-        new_table = table - self.lr * (
-            mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * table
-        )
+        if self.use_pallas and sk.supports(table.shape[0], uid.shape[0], table.shape[1]):
+            # Single-pass Pallas kernel: one HBM round-trip over
+            # table/mu/nu (the traffic floor) instead of the XLA path's two.
+            new_table, mu, nu = sk.fused_sparse_adamw(
+                table, state["emb_mu"], state["emb_nu"], uid, summed, count,
+                lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+        else:
+            # mode="drop": sentinel-padded tail slots (UID_SENTINEL, out of
+            # range) fall away instead of clamping onto the last row.
+            mu = state["emb_mu"].at[uid].add(
+                (1.0 - self.b1) / self.b1 * summed, mode="drop"
+            )
+            nu = state["emb_nu"].at[uid].add(
+                (1.0 - self.b2) / self.b2 * jnp.square(summed), mode="drop"
+            )
+            mu = self.b1 * mu
+            nu = self.b2 * nu
+
+            c = count.astype(jnp.float32)
+            mu_hat = mu / (1.0 - jnp.power(self.b1, c))
+            nu_hat = nu / (1.0 - jnp.power(self.b2, c))
+            new_table = table - self.lr * (
+                mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * table
+            )
 
         upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
         new_rest = optax.apply_updates(p_rest, upd)

@@ -113,10 +113,11 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
         )(other, rows0)
         # Reduce duplicates (AdamW's second moment needs (sum g)^2, not
         # sum g^2) with the host-sorted permutation; zero the padding row
-        # (padding_idx parity: row 0 never updates).
+        # (padding_idx parity: row 0 never updates). Sentinel tail slots
+        # receive zero from segment_sum (their segments don't exist).
         summed = jax.ops.segment_sum(
             g_rows[gidx.perm], gidx.seg,
-            num_segments=gidx.ids.shape[0], indices_are_sorted=True,
+            num_segments=gidx.uid.shape[0], indices_are_sorted=True,
         )
         summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
         new_params, new_opt_state = optimizer.update_sparse(
@@ -185,7 +186,7 @@ class Trainer:
         if optimizer is None and self.sparse_embedding_grads:
             from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
 
-            optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
+            optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)
         self.optimizer = optimizer or optax.adamw(1e-3, weight_decay=1e-5)
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)

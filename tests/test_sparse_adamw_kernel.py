@@ -1,0 +1,95 @@
+"""Fused single-pass sparse AdamW kernel: equivalence with the XLA path.
+
+Runs in interpret mode on the CPU test backend (same pattern as the other
+Pallas kernel tests); the compiled path is exercised on TPU by bench.py and
+the end-to-end drive.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gat_recommendation_tpu.data.batching import UID_SENTINEL
+from gat_recommendation_tpu.ops.pallas.sparse_adamw import TILE, fused_sparse_adamw, supports
+
+HP = dict(lr=1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-5)
+
+
+def xla_reference(table, mu, nu, uid, summed, count):
+    lr, b1, b2, eps, wd = HP["lr"], HP["b1"], HP["b2"], HP["eps"], HP["weight_decay"]
+    mu = mu.at[uid].add((1 - b1) / b1 * summed, mode="drop")
+    nu = nu.at[uid].add((1 - b2) / b2 * jnp.square(summed), mode="drop")
+    mu, nu = b1 * mu, b2 * nu
+    c = jnp.float32(count)
+    new_table = table - lr * (
+        (mu / (1 - b1**c)) / (jnp.sqrt(nu / (1 - b2**c)) + eps) + wd * table
+    )
+    return new_table, mu, nu
+
+
+def make_inputs(rows=4 * TILE, dim=128, n_unique=37, pad_to=64, seed=0):
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(rows, dim)) * 0.01, jnp.float32)
+    nu = jnp.asarray(np.abs(rng.normal(size=(rows, dim))) * 0.001, jnp.float32)
+    ids = np.sort(rng.choice(rows, n_unique, replace=False)).astype(np.int32)
+    uid = np.full(pad_to, UID_SENTINEL, np.int32)
+    uid[:n_unique] = ids
+    summed = rng.normal(size=(pad_to, dim)).astype(np.float32)
+    summed[n_unique:] = 0.0
+    if ids[0] == 0:
+        summed[0] = 0.0  # caller contract: padding row contributes nothing
+    return table, mu, nu, jnp.asarray(uid), jnp.asarray(summed), 3
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kernel_matches_xla(seed):
+    args = make_inputs(seed=seed)
+    want = xla_reference(*args)
+    got = fused_sparse_adamw(*args, **HP, interpret=True)
+    for w, g, name in zip(want, got, ["table", "mu", "nu"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7,
+                                   err_msg=name)
+
+
+def test_kernel_all_slots_sentinel():
+    table, mu, nu, _, summed, count = make_inputs()
+    uid = jnp.full((64,), UID_SENTINEL, jnp.int32)
+    got_t, got_m, got_n = fused_sparse_adamw(
+        table, mu, nu, uid, jnp.zeros_like(summed), count, **HP, interpret=True
+    )
+    want = xla_reference(table, mu, nu, uid, jnp.zeros_like(summed), count)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want[1]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want[0]), rtol=1e-6)
+
+
+def test_kernel_dense_uid_every_tile():
+    # Touched rows spread across every tile, including tile boundaries.
+    rows, dim = 4 * TILE, 128
+    rng = np.random.default_rng(2)
+    ids = np.unique(np.concatenate([
+        np.arange(0, rows, TILE),          # first row of each tile
+        np.arange(TILE - 1, rows, TILE),   # last row of each tile
+        rng.choice(rows, 50, replace=False),
+    ])).astype(np.int32)
+    pad_to = 128
+    uid = np.full(pad_to, UID_SENTINEL, np.int32)
+    uid[: len(ids)] = ids
+    table = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    mu = jnp.zeros_like(table)
+    nu = jnp.zeros_like(table)
+    summed = rng.normal(size=(pad_to, dim)).astype(np.float32)
+    summed[len(ids):] = 0.0
+    summed[0] = 0.0  # ids[0] == 0
+    want = xla_reference(table, mu, nu, jnp.asarray(uid), jnp.asarray(summed), 1)
+    got = fused_sparse_adamw(table, mu, nu, jnp.asarray(uid), jnp.asarray(summed), 1,
+                             **HP, interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7)
+
+
+def test_supports_gate():
+    assert supports(4 * TILE, 1024, 256)
+    assert not supports(4 * TILE + 1, 1024, 256)   # rows not tile-divisible
+    assert not supports(4 * TILE, 16384, 256)      # summed too big for VMEM
