@@ -53,6 +53,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true", help="resume from checkpoint_latest")
     p.add_argument("--gcs-bucket", type=str, default=None)
+    p.add_argument("--sparse-grads", action=argparse.BooleanOptionalAction, default=True,
+                   help="sparse embedding gradients + fused AdamW (2.5x faster on "
+                        "TPU, same math — docs/PERFORMANCE.md); --no-sparse-grads "
+                        "uses the dense optax step")
     return p.parse_args()
 
 
@@ -117,6 +121,13 @@ def main() -> None:
         model_kwargs["num_heads"] = args.num_heads
     model = create_model(args.model, num_items, **model_kwargs)
 
+    if args.sparse_grads:
+        from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+        optimizer = FusedEmbeddingAdamW(args.lr, weight_decay=args.weight_decay)
+    else:
+        optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
+
     trainer = Trainer(
         model,
         train_batches=lambda epoch: iterate_batches(
@@ -125,13 +136,14 @@ def main() -> None:
         val_batches=lambda: iterate_batches(
             val_ds, batch_size=args.batch_size, shuffle=False, seed=0
         ),
-        optimizer=optax.adamw(args.lr, weight_decay=args.weight_decay),
+        optimizer=optimizer,
         output_dir=Path(args.output_dir) / args.model,
         max_epochs=args.max_epochs,
         patience=args.patience,
         eval_every=args.eval_every,
         loss_fn=create_loss_function(args.loss_type, args.alpha, args.temperature),
         seed=args.seed,
+        sparse_embedding_grads=args.sparse_grads,
     )
 
     params, state, opt_state = trainer.init_state()
