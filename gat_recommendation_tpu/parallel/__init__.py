@@ -20,6 +20,7 @@ from gat_recommendation_tpu.parallel.mesh import (
 )
 from gat_recommendation_tpu.parallel.steps import (
     make_sharded_eval_step,
+    make_sharded_sparse_train_step,
     make_sharded_train_step,
 )
 
@@ -29,6 +30,7 @@ __all__ = [
     "state_shardings",
     "batch_sharding",
     "replicated",
+    "make_sharded_sparse_train_step",
     "make_sharded_train_step",
     "make_sharded_eval_step",
 ]

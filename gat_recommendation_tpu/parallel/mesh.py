@@ -34,10 +34,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_TABLE_KEYS = ("item_embedding", "cached_pe", "emb_mu", "emb_nu")
+
+
 def _is_table(path: tuple) -> bool:
-    return any(
-        getattr(k, "key", None) in ("item_embedding", "cached_pe") for k in path
-    )
+    """Table-shaped leaves: the embedding, its cached PE, and the fused
+    optimizer's moment buffers (FusedEmbeddingAdamW state) — all [V, ...]
+    arrays that row-shard over 'model'."""
+    return any(getattr(k, "key", None) in _TABLE_KEYS for k in path)
 
 
 def param_shardings(params, mesh: Mesh):

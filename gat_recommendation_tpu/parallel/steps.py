@@ -60,6 +60,83 @@ def make_sharded_train_step(model, loss_fn, optimizer, mesh) -> Callable:
     return sharded_step
 
 
+def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
+    """Sharded variant of trainer.make_sparse_train_step.
+
+    Same math (sparse embedding gradients + scatter-first AdamW); GSPMD
+    partitions the row-sharded table/moment scatters per shard. The
+    GradIndex is replicated (it indexes the GLOBAL row space; the unique-id
+    reduction is a whole-batch property). The Pallas kernel is single-device
+    only, so the optimizer must run its XLA path here (use_pallas=False).
+
+    Accepts (batch, gidx) tuples or a bare SessionBatch like the
+    single-device step.
+    """
+    assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
+    assert not getattr(optimizer, "use_pallas", False), (
+        "Pallas sparse-AdamW kernel is single-device; construct "
+        "FusedEmbeddingAdamW(use_pallas=False) for mesh training"
+    )
+
+    def step(params, state, opt_state, batch, gidx, rng):
+        B, N = batch.node_ids.shape
+        K = batch.negatives.shape[1]
+        table = jax.lax.stop_gradient(params["item_embedding"])
+        rows0 = table[gidx.ids]
+        other = {k_: v for k_, v in params.items() if k_ != "item_embedding"}
+
+        def loss_inner(other_params, rows):
+            node_emb = rows[: B * N].reshape(B, N, -1)
+            target_emb = rows[B * N : B * N + B]
+            neg_emb = rows[B * N + B :].reshape(B, K, -1)
+            full = {**other_params, "item_embedding": table}
+            sess, new_state = model.apply(
+                full, state, batch, model.config, train=True, rng=rng,
+                node_embeddings=node_emb,
+            )
+            loss, _aux = loss_fn.from_embeddings(
+                sess, target_emb, neg_emb, batch.sample_mask
+            )
+            return loss, new_state
+
+        (loss, new_state), (g_other, g_rows) = jax.value_and_grad(
+            loss_inner, argnums=(0, 1), has_aux=True
+        )(other, rows0)
+        summed = jax.ops.segment_sum(
+            g_rows[gidx.perm], gidx.seg,
+            num_segments=gidx.uid.shape[0], indices_are_sorted=True,
+        )
+        summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
+        new_params, new_opt_state = optimizer.update_sparse(
+            g_other, gidx.uid, summed, opt_state, params
+        )
+        return new_params, new_state, new_opt_state, loss
+
+    compiled = {}
+
+    def sharded_step(params, state, opt_state, batch, rng):
+        if isinstance(batch, tuple):
+            batch, gidx = batch
+        else:
+            from gat_recommendation_tpu.data.batching import make_grad_index
+
+            gidx = make_grad_index(batch)
+        if "step" not in compiled:
+            ps = param_shardings(params, mesh)
+            ss = state_shardings(state, mesh)
+            os_ = opt_state_shardings(opt_state, ps, mesh)
+            bs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+            gs = jax.tree.map(lambda _: replicated(mesh), gidx)
+            compiled["step"] = jax.jit(
+                step,
+                in_shardings=(ps, ss, os_, bs, gs, replicated(mesh)),
+                out_shardings=(ps, ss, os_, replicated(mesh)),
+            )
+        return compiled["step"](params, state, opt_state, batch, gidx, rng)
+
+    return sharded_step
+
+
 def make_sharded_eval_step(model, k: int, mesh) -> Callable:
     """Jitted (params, state, batch) -> top-k ids; scorer sharded over vocab.
 

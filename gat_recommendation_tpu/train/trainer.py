@@ -182,11 +182,15 @@ class Trainer:
         self.model = model
         self.train_batches = train_batches
         self.val_batches = val_batches
-        self.sparse_embedding_grads = sparse_embedding_grads and mesh is None
+        self.sparse_embedding_grads = sparse_embedding_grads
         if optimizer is None and self.sparse_embedding_grads:
             from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
 
-            optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)
+            # The Pallas kernel is single-device; mesh training uses the
+            # XLA sparse path (GSPMD partitions the sharded-table scatters).
+            optimizer = FusedEmbeddingAdamW(
+                1e-3, weight_decay=1e-5, use_pallas=False if mesh is not None else None
+            )
         self.optimizer = optimizer or optax.adamw(1e-3, weight_decay=1e-5)
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -206,12 +210,18 @@ class Trainer:
         if mesh is not None:
             from gat_recommendation_tpu.parallel.steps import (
                 make_sharded_eval_step,
+                make_sharded_sparse_train_step,
                 make_sharded_train_step,
             )
 
-            self._train_step = make_sharded_train_step(
-                self.model, self.loss_fn, self.optimizer, mesh
-            )
+            if self.sparse_embedding_grads:
+                self._train_step = make_sharded_sparse_train_step(
+                    self.model, self.loss_fn, self.optimizer, mesh
+                )
+            else:
+                self._train_step = make_sharded_train_step(
+                    self.model, self.loss_fn, self.optimizer, mesh
+                )
             self._eval_step = make_sharded_eval_step(self.model, max(self.k_values), mesh)
         elif self.sparse_embedding_grads:
             self._train_step = make_sparse_train_step(

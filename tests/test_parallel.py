@@ -128,3 +128,55 @@ def test_multi_step_training_stays_finite():
         sp, ss, so, loss = step(sp, ss, so, batch, jax.random.key(i))
         losses.append(float(loss))
     assert all(np.isfinite(losses))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_sparse_step_matches_single_device(mesh_shape):
+    """Sparse-grad sharded step == single-device sparse step == dense step."""
+    from gat_recommendation_tpu.parallel import make_sharded_sparse_train_step
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+    from gat_recommendation_tpu.train.trainer import make_sparse_train_step
+
+    model = create_model(
+        "graph_transformer_optimized",
+        num_items=104, embedding_dim=16, hidden_dim=16, laplacian_k=4, dropout=0.0,
+    )
+    params, state = model.init_params(jax.random.key(0))
+    state = model.precompute_pe(state, np.arange(1, 40), np.arange(2, 41))
+    batch = make_batch8()
+    rng = jax.random.key(7)
+
+    from gat_recommendation_tpu.data.batching import to_device
+
+    opt_a = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
+    single = make_sparse_train_step(model, dual_loss, opt_a)
+    p1, s1, o1, loss1 = single(params, state, opt_a.init(params), to_device(batch), rng)
+
+    mesh = make_mesh(*mesh_shape)
+    opt_b = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False)
+    sp, ss, so = shard_params(params, state, opt_b.init(params), mesh)
+    sharded = make_sharded_sparse_train_step(model, dual_loss, opt_b, mesh)
+    p2, s2, o2, loss2 = sharded(sp, ss, so, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["item_embedding"]), np.asarray(p2["item_embedding"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    # Moment buffers row-shard and still match.
+    np.testing.assert_allclose(
+        np.asarray(o1["emb_mu"]), np.asarray(o2["emb_mu"]), rtol=1e-4, atol=1e-7
+    )
+
+
+def test_fused_optimizer_moments_row_sharded():
+    from gat_recommendation_tpu.parallel.mesh import opt_state_shardings, param_shardings
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = create_model("graphsage", num_items=64, embedding_dim=16, hidden_dim=16)
+    params, _ = model.init_params(jax.random.key(0))
+    opt = FusedEmbeddingAdamW(1e-3, use_pallas=False)
+    shardings = opt_state_shardings(opt.init(params), param_shardings(params, mesh), mesh)
+    assert shardings["emb_mu"].spec == jax.sharding.PartitionSpec("model", None)
+    assert shardings["emb_nu"].spec == jax.sharding.PartitionSpec("model", None)
