@@ -42,13 +42,16 @@ def supports(rows: int, num_unique_slots: int, dim: int) -> bool:
 def _kernel(lr, b1, b2, eps, wd,
             offs_ref, bc_ref, uid_ref, summed_ref,
             table_ref, mu_ref, nu_ref,
-            out_table_ref, out_mu_ref, out_nu_ref):
+            out_table_ref, out_mu_ref, out_nu_ref,
+            mu_scratch, nu_scratch):
     i = pl.program_id(0)
     start = offs_ref[i]
     end = offs_ref[i + 1]
 
-    out_mu_ref[:] = mu_ref[:]
-    out_nu_ref[:] = nu_ref[:]
+    # Work in f32 scratch regardless of the moment STORAGE dtype (bf16
+    # moments halve HBM traffic; compute precision stays f32).
+    mu_scratch[:] = mu_ref[:].astype(jnp.float32)
+    nu_scratch[:] = nu_ref[:].astype(jnp.float32)
 
     # Scatter-first (pre-divided by the decay factor) so the decay multiply
     # below produces b*m + (1-b)*g for touched rows, b*m for the rest.
@@ -58,8 +61,8 @@ def _kernel(lr, b1, b2, eps, wd,
     def add_row(j, _):
         local = uid_ref[j, 0] - i * TILE
         s = summed_ref[pl.ds(j, 1), :]
-        out_mu_ref[pl.ds(local, 1), :] = out_mu_ref[pl.ds(local, 1), :] + c1 * s
-        out_nu_ref[pl.ds(local, 1), :] = out_nu_ref[pl.ds(local, 1), :] + c2 * s * s
+        mu_scratch[pl.ds(local, 1), :] = mu_scratch[pl.ds(local, 1), :] + c1 * s
+        nu_scratch[pl.ds(local, 1), :] = nu_scratch[pl.ds(local, 1), :] + c2 * s * s
         return 0
 
     jax.lax.fori_loop(start, end, add_row, 0)
@@ -68,10 +71,10 @@ def _kernel(lr, b1, b2, eps, wd,
     # powf) and handed in via scalar prefetch.
     inv_bc1 = bc_ref[0]
     inv_bc2 = bc_ref[1]
-    mu = b1 * out_mu_ref[:]
-    nu = b2 * out_nu_ref[:]
-    out_mu_ref[:] = mu
-    out_nu_ref[:] = nu
+    mu = b1 * mu_scratch[:]
+    nu = b2 * nu_scratch[:]
+    out_mu_ref[:] = mu.astype(out_mu_ref.dtype)
+    out_nu_ref[:] = nu.astype(out_nu_ref.dtype)
     mu_hat = mu * inv_bc1
     nu_hat = nu * inv_bc2
     out_table_ref[:] = table_ref[:] - lr * (
@@ -126,6 +129,10 @@ def fused_sparse_adamw(
             tile_spec(),
         ],
         out_specs=[tile_spec(), tile_spec(), tile_spec()],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, dim), jnp.float32),
+            pltpu.VMEM((TILE, dim), jnp.float32),
+        ],
     )
 
     out_shape = [

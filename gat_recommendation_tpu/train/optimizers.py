@@ -32,13 +32,21 @@ class FusedEmbeddingAdamW:
         eps: float = 1e-8,
         weight_decay: float = 0.0,
         use_pallas: bool | None = None,
+        moment_dtype=None,
     ):
+        """moment_dtype: storage dtype for the table's mu/nu buffers.
+        Default None keeps the table dtype (f32, exact reference-AdamW
+        semantics). jnp.bfloat16 halves the moment HBM traffic in the
+        update tail (compute stays f32, storage rounds to bf16) — an
+        approximation; see docs/PERFORMANCE.md for the measured quality
+        impact before enabling."""
         self.lr = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.moment_dtype = moment_dtype
         self._rest = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                                  weight_decay=weight_decay)
 
@@ -48,9 +56,10 @@ class FusedEmbeddingAdamW:
 
     def init(self, params: dict) -> dict:
         table, rest = self._split(params)
+        mdt = self.moment_dtype or table.dtype
         return {
-            "emb_mu": jnp.zeros_like(table),
-            "emb_nu": jnp.zeros_like(table),
+            "emb_mu": jnp.zeros(table.shape, mdt),
+            "emb_nu": jnp.zeros(table.shape, mdt),
             "count": jnp.zeros((), jnp.int32),
             "rest": self._rest.init(rest),
         }
@@ -121,10 +130,12 @@ class FusedEmbeddingAdamW:
         else:
             # mode="drop": sentinel-padded tail slots (UID_SENTINEL, out of
             # range) fall away instead of clamping onto the last row.
-            mu = state["emb_mu"].at[uid].add(
+            # Compute in f32; storage rounds to moment_dtype (no-op for f32).
+            mdt = state["emb_mu"].dtype
+            mu = state["emb_mu"].astype(jnp.float32).at[uid].add(
                 (1.0 - self.b1) / self.b1 * summed, mode="drop"
             )
-            nu = state["emb_nu"].at[uid].add(
+            nu = state["emb_nu"].astype(jnp.float32).at[uid].add(
                 (1.0 - self.b2) / self.b2 * jnp.square(summed), mode="drop"
             )
             mu = self.b1 * mu
@@ -136,6 +147,8 @@ class FusedEmbeddingAdamW:
             new_table = table - self.lr * (
                 mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * table
             )
+            mu = mu.astype(mdt)
+            nu = nu.astype(mdt)
 
         upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
         new_rest = optax.apply_updates(p_rest, upd)

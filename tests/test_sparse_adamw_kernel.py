@@ -93,3 +93,31 @@ def test_supports_gate():
     assert supports(4 * TILE, 1024, 256)
     assert not supports(4 * TILE + 1, 1024, 256)   # rows not tile-divisible
     assert not supports(4 * TILE, 16384, 256)      # summed too big for VMEM
+
+
+def test_bf16_moment_storage_close_to_f32():
+    table, mu, nu, uid, summed, count = make_inputs(seed=3)
+    want = fused_sparse_adamw(table, mu, nu, uid, summed, count, **HP, interpret=True)
+    got = fused_sparse_adamw(
+        table, mu.astype(jnp.bfloat16), nu.astype(jnp.bfloat16), uid, summed, count,
+        **HP, interpret=True,
+    )
+    assert got[1].dtype == jnp.bfloat16 and got[2].dtype == jnp.bfloat16
+    # Storage rounding only: tables agree to bf16 resolution of the moments.
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=2e-2, atol=2e-5
+    )
+
+
+def test_optimizer_moment_dtype_option():
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+    params = {"item_embedding": jnp.ones((TILE, 8)), "w": jnp.ones((3,))}
+    opt = FusedEmbeddingAdamW(1e-3, use_pallas=False, moment_dtype=jnp.bfloat16)
+    state = opt.init(params)
+    assert state["emb_mu"].dtype == jnp.bfloat16
+    uid = jnp.array([1, 2], jnp.int32)
+    summed = jnp.ones((2, 8), jnp.float32)
+    new_params, new_state = opt.update_sparse({"w": jnp.ones((3,))}, uid, summed, state, params)
+    assert new_state["emb_mu"].dtype == jnp.bfloat16
+    assert new_params["item_embedding"].dtype == jnp.float32
