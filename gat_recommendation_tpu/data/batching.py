@@ -90,29 +90,58 @@ def prefetch_to_device(iterator, size: int = 2, transfer=to_device):
     """Iterate `iterator`, transferring `size` batches ahead on a background
     thread so host batch assembly and host->device copies overlap device
     compute (the reference relies on torch DataLoader workers for the same
-    overlap, dataloader.py:235-241)."""
+    overlap, dataloader.py:235-241).
+
+    If the consumer abandons the generator early (break / exception / GC),
+    a `stop` event set from the generator's close() unblocks the worker —
+    it would otherwise park forever on q.put, leaking the thread plus up to
+    `size` pinned device batches per abandoned epoch."""
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     error: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(transfer(item))
+                item = transfer(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to the consumer thread
             error.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        # Reached on close()/GC of a part-consumed generator: release the
+        # worker and drain so its pinned device batches drop promptly.
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 # ---------------------------------------------------------------------------
@@ -175,18 +204,28 @@ def induced_edges(graph: CSRGraph, nodes) -> tuple[np.ndarray, np.ndarray]:
 def sample_negatives(rng: np.random.Generator, exclude, num_items: int, k: int) -> np.ndarray:
     """k negatives from [1, num_items) excluding `exclude` (rejection
     sampling; duplicates among negatives allowed — reference
-    dataloader.py:107-124 parity)."""
+    dataloader.py:107-124 parity).
+
+    Termination guard (the reference has none, dataloader.py:118-123): when
+    the candidate range is empty (num_items <= 1) or the session covers
+    nearly the whole catalog (tiny test datasets), rejection sampling can't
+    terminate — after a bounded number of rounds we fall back to allowing
+    in-session negatives rather than looping forever."""
     out = np.empty(k, dtype=np.int32)
+    if num_items <= 1:
+        out[:] = 0  # no valid candidate range; padding id (masked downstream)
+        return out
     got = 0
-    while got < k:
-        # Draw in blocks; sessions exclude a tiny fraction of the catalog.
+    for _ in range(64):  # bounded rounds; ~certain success unless exclude ≈ catalog
         cands = rng.integers(1, num_items, size=max(2 * (k - got), 8))
         for c in cands:
             if int(c) not in exclude:
                 out[got] = c
                 got += 1
                 if got == k:
-                    break
+                    return out
+    # Degenerate catalog: permit in-session negatives (documented deviation).
+    out[got:] = rng.integers(1, num_items, size=k - got)
     return out
 
 
@@ -381,6 +420,14 @@ def make_grad_index(batch: SessionBatch) -> GradIndex:
             np.asarray(batch.negatives).reshape(-1),
         ]
     ).astype(np.int32)
+    return make_grad_index_from_ids(ids)
+
+
+def make_grad_index_from_ids(ids: np.ndarray) -> GradIndex:
+    """GradIndex from a raw id list (multi-host path: ids cover the GLOBAL
+    batch, reconstructed identically on every process — see
+    parallel/distributed.py and GlobalBatchMeta)."""
+    ids = np.asarray(ids, dtype=np.int32)
     perm = np.argsort(ids, kind="stable").astype(np.int32)
     sid = ids[perm]
     is_new = np.ones(len(sid), dtype=bool)
@@ -404,6 +451,127 @@ def _resolve_engine(engine: str) -> str:
     return engine
 
 
+# ---------------------------------------------------------------------------
+# Deterministic per-slot negative RNG
+#
+# Negatives are keyed by (seed, batch_index, GLOBAL slot) so that (a) any
+# process can reconstruct any other process's negatives for the multi-host
+# GradIndex (parallel/distributed.py), and (b) batch assembly parallelizes
+# (no shared sequential RNG stream). numpy engine: a PCG substream per slot.
+# native engine: the C SplitMix64 scheme, mirrored in numpy below.
+# ---------------------------------------------------------------------------
+
+
+def _slot_rng(seed: int, batch_index: int, gslot: int) -> np.random.Generator:
+    return np.random.default_rng([seed, batch_index, gslot])
+
+
+def _native_batch_seed(seed: int, batch_index: int, pindex: int = 0) -> int:
+    """Per-(batch, process) seed for the C engine; pindex=0 matches the
+    original single-process scheme bit-for-bit."""
+    base = (np.uint64(seed) << np.uint64(20)) + np.uint64(batch_index)
+    if pindex:
+        base ^= np.uint64(0x9E3779B97F4A7C15) * np.uint64(pindex)
+    return int(base)
+
+
+def _splitmix64(state: np.uint64) -> tuple[np.uint64, np.uint64]:
+    """One SplitMix64 draw (numpy mirror of native/batcher.cpp:25-30)."""
+    with np.errstate(over="ignore"):
+        state = state + np.uint64(0x9E3779B97F4A7C15)
+        z = state
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return state, z ^ (z >> np.uint64(31))
+
+
+def _native_negatives(batch_seed: int, local_slot: int, session_items, num_items: int, k: int) -> np.ndarray:
+    """Reproduce the C engine's negatives for one slot (batcher.cpp:119-151)."""
+    out = np.zeros(k, dtype=np.int32)
+    if num_items <= 1:
+        return out
+    uniq = set(int(x) for x in session_items)
+    with np.errstate(over="ignore"):
+        state = np.uint64(batch_seed) ^ (
+            np.uint64(0x9E3779B97F4A7C15) * np.uint64(local_slot + 1)
+        )
+    got, attempts, max_attempts = 0, 0, 128 * k
+    while got < k and attempts < max_attempts:
+        attempts += 1
+        state, z = _splitmix64(state)
+        cand = 1 + int(z % np.uint64(num_items - 1))
+        if cand in uniq:
+            continue
+        out[got] = cand
+        got += 1
+    while got < k:  # degenerate catalog fallback (matches C)
+        state, z = _splitmix64(state)
+        out[got] = 1 + int(z % np.uint64(num_items - 1))
+        got += 1
+    return out
+
+
+class GlobalBatchMeta(NamedTuple):
+    """Global-batch facts every process can compute without the heavy
+    assembly (adjacency/edges) of remote rows — used in multi-host training
+    for metrics and for the replicated GradIndex.
+
+    targets     [B_global] int32
+    sample_mask [B_global] bool
+    ids         [R_global] int32 or None — concat(node_ids.flat, targets,
+                negatives.flat) of the GLOBAL batch (None unless requested)
+    """
+
+    targets: np.ndarray
+    sample_mask: np.ndarray
+    ids: np.ndarray | None
+
+
+def _global_batch_meta(
+    dataset: SessionDataset,
+    chunk: list,
+    batch_size: int,
+    bucket_n: int,
+    seed: int,
+    batch_index: int,
+    engine: str,
+    process_count: int,
+    with_ids: bool,
+) -> GlobalBatchMeta:
+    """Reconstruct global-batch metadata (cheap: no CSR/adjacency work)."""
+    B = batch_size
+    K = dataset.num_negatives
+    targets = np.zeros(B, dtype=np.int32)
+    sample_mask = np.zeros(B, dtype=bool)
+    ids = None
+    if with_ids:
+        node_ids = np.zeros((B, bucket_n), dtype=np.int32)
+        negatives = np.zeros((B, K), dtype=np.int32)
+    local = batch_size // process_count
+    for g, idx in enumerate(chunk):
+        items = dataset.session_items(idx)
+        targets[g] = items[-1]
+        sample_mask[g] = True
+        if with_ids:
+            nodes = np.unique(items[:-1])[:bucket_n]
+            node_ids[g, : len(nodes)] = nodes
+            if engine == "native":
+                bs = _native_batch_seed(seed, batch_index, g // local)
+                negatives[g] = _native_negatives(bs, g % local, items, dataset.num_items, K)
+            else:
+                negatives[g] = sample_negatives(
+                    _slot_rng(seed, batch_index, g),
+                    set(items.tolist()),
+                    dataset.num_items,
+                    K,
+                )
+    if with_ids:
+        ids = np.concatenate(
+            [node_ids.reshape(-1), targets, negatives.reshape(-1)]
+        ).astype(np.int32)
+    return GlobalBatchMeta(targets=targets, sample_mask=sample_mask, ids=ids)
+
+
 def iterate_batches(
     dataset: SessionDataset,
     batch_size: int,
@@ -411,6 +579,10 @@ def iterate_batches(
     seed: int = 0,
     engine: str = "auto",
     buckets=DEFAULT_BUCKETS,
+    process_index: int = 0,
+    process_count: int = 1,
+    with_global_meta: bool = False,
+    with_global_ids: bool = False,
 ):
     """Yield SessionBatches covering one epoch.
 
@@ -418,8 +590,33 @@ def iterate_batches(
     bucket's sessions in epoch-shuffled order); every batch has exactly
     `batch_size` slots, remainders padded with masked samples. Both engines
     produce identical grouping/shapes; negatives differ by RNG stream
-    (numpy PCG vs native SplitMix64 — statistically equivalent)."""
+    (numpy PCG vs native SplitMix64 — statistically equivalent).
+
+    Multi-host: `batch_size` is the GLOBAL batch size; the grouping is a
+    pure function of (dataset, seed) so every process computes the identical
+    schedule, and process p assembles only rows [p*local, (p+1)*local) of
+    each global batch (local = batch_size / process_count). With
+    `with_global_meta` (implied by process_count > 1) each yield becomes
+    (local_batch, GlobalBatchMeta); `with_global_ids` additionally fills
+    meta.ids for the replicated multi-host GradIndex. numpy-engine negatives
+    are keyed by GLOBAL slot, so the concatenation of all processes' local
+    batches is bit-identical to the process_count=1 batch (asserted by
+    __graft_entry__.dryrun_multichip and tests/test_multihost_sim.py).
+    """
     engine = _resolve_engine(engine)
+    assert batch_size % process_count == 0, (
+        f"global batch size {batch_size} must divide by process count {process_count}"
+    )
+    assert 0 <= process_index < process_count
+    local = batch_size // process_count
+    with_global_meta = with_global_meta or process_count > 1 or with_global_ids
+    # Invariant: a session truncated to max_session_length events has at most
+    # max_session_length - 1 unique context nodes; the largest bucket must
+    # hold them or `collate` would silently drop nodes (and their edges).
+    # Extend the ladder dynamically for non-default --max-session-length.
+    need = max(int(dataset.max_session_length) - 1, 1)
+    if buckets[-1] < need:
+        buckets = tuple(buckets) + (-(-need // 8) * 8,)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
 
@@ -435,13 +632,25 @@ def iterate_batches(
         idxs = by_bucket[bucket_n]
         for lo in range(0, len(idxs), batch_size):
             chunk = idxs[lo : lo + batch_size]
+            local_chunk = chunk[process_index * local : (process_index + 1) * local]
             if engine == "native":
-                batch_seed = (np.uint64(seed) << np.uint64(20)) + np.uint64(batch_index)
-                yield native.assemble_batch(
-                    dataset, chunk, batch_size, bucket_n, int(batch_seed)
+                batch_seed = _native_batch_seed(seed, batch_index, process_index)
+                batch = native.assemble_batch(
+                    dataset, local_chunk, local, bucket_n, batch_seed
                 )
             else:
-                samples = [dataset.sample(i, rng) for i in chunk]
-                samples += [None] * (batch_size - len(chunk))
-                yield collate(samples, bucket_n, dataset.num_negatives)
+                samples = [
+                    dataset.sample(i, _slot_rng(seed, batch_index, process_index * local + s))
+                    for s, i in enumerate(local_chunk)
+                ]
+                samples += [None] * (local - len(local_chunk))
+                batch = collate(samples, bucket_n, dataset.num_negatives)
+            if with_global_meta:
+                meta = _global_batch_meta(
+                    dataset, chunk, batch_size, bucket_n, seed, batch_index,
+                    engine, process_count, with_global_ids,
+                )
+                yield batch, meta
+            else:
+                yield batch
             batch_index += 1

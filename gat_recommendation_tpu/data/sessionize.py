@@ -40,7 +40,9 @@ def sessionize_events(
     df = df[keep].reset_index(drop=True)
     kept_sid = raw_sid[keep]
     _, consecutive = np.unique(kept_sid, return_inverse=True)
-    df["session_id"] = pd.Series(consecutive).map(lambda i: f"sess_{i}")
+    # Vectorized "sess_<n>" labels (a per-row Python lambda here was the one
+    # non-vectorized step and the stage bottleneck at 2.7M events).
+    df["session_id"] = np.char.add("sess_", consecutive.astype(np.str_))
     return df
 
 

@@ -24,36 +24,72 @@ def generate_synthetic_events(
 ) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
 
-    # Zipf(1.5) popularity over a permuted catalog.
+    # Zipf(1.5) popularity over a permuted catalog. Draws are vectorized as
+    # searchsorted(cumprobs, U) — rng.choice(p=...) is O(num_items) PER DRAW
+    # and made reference-scale generation (2.7M events x 466k items)
+    # infeasible.
     ranks = np.arange(1, num_items + 1, dtype=np.float64)
     probs = ranks**-1.5
-    probs /= probs.sum()
+    cumprobs = np.cumsum(probs / probs.sum())
     perm = rng.permutation(num_items)
 
     num_visitors = max(1, num_sessions // 2)
-    rows = []
+
+    # Pre-draw everything vectorized; the per-event loop only runs the tiny
+    # view/addtocart/transaction state machine over precomputed streams.
+    lengths = 2 + rng.poisson(mean_session_length - 2, size=num_sessions)
+    total = int(lengths.sum())
+    visitors = rng.integers(0, num_visitors, size=num_sessions)
+    view_pool = perm[
+        np.minimum(np.searchsorted(cumprobs, rng.random(total)), num_items - 1)
+    ]
+    rolls = rng.random(total)
+    tx_ids = rng.integers(10_000, 99_999, size=total)
+    intra_gaps = np.minimum(
+        rng.exponential(5 * 60_000, size=total), 29 * 60_000 - 1
+    ).astype(np.int64)  # capped below 30 min: never splits a session
+    inter_gaps = (
+        35 * 60_000 + rng.exponential(90 * 60_000, size=num_sessions)
+    ).astype(np.int64)  # always exceeds the 30-min sessionization rule
+
+    ts_col = np.empty(total, dtype=np.int64)
+    visitor_col = np.empty(total, dtype=np.int64)
+    event_col = np.empty(total, dtype=object)
+    item_col = np.empty(total, dtype=np.int64)
+    tx_col = np.full(total, np.nan, dtype=object)
+
+    e = 0
     t = int(start_ts)
-    for _ in range(num_sessions):
-        visitor = f"visitor_{rng.integers(0, num_visitors)}"
-        length = int(2 + rng.poisson(mean_session_length - 2))
-        last_view = None
+    for s in range(num_sessions):
+        last_view = -1
         cart: list[int] = []
-        for _ in range(length):
-            r = rng.random()
-            if last_view is not None and r < 0.12:
+        for _ in range(int(lengths[s])):
+            r = rolls[e]
+            if last_view >= 0 and r < 0.12:
                 event, item = "addtocart", last_view
                 cart.append(item)
             elif cart and r < 0.17:
                 event, item = "transaction", cart.pop()
+                tx_col[e] = int(tx_ids[e])
             else:
                 event = "view"
-                item = int(perm[rng.choice(num_items, p=probs)])
+                item = int(view_pool[e])
                 last_view = item
-            tx = int(rng.integers(10_000, 99_999)) if event == "transaction" else None
-            rows.append((t, visitor, event, item, tx))
-            # Gap capped at 29 min: never splits a session (30-min rule).
-            t += min(int(rng.exponential(5 * 60_000)), 29 * 60_000)
-        # Inter-session gap always exceeds the 30-min sessionization rule.
-        t += 35 * 60_000 + int(rng.exponential(90 * 60_000))
+            ts_col[e] = t
+            visitor_col[e] = visitors[s]
+            event_col[e] = event
+            item_col[e] = item
+            t += int(intra_gaps[e])
+            e += 1
+        t += int(inter_gaps[s])
 
-    return pd.DataFrame(rows, columns=COLUMNS)
+    return pd.DataFrame(
+        {
+            "timestamp": ts_col,
+            "visitorid": np.char.add("visitor_", visitor_col.astype(np.str_)),
+            "event": event_col,
+            "itemid": item_col,
+            "transactionid": tx_col,
+        },
+        columns=COLUMNS,
+    )

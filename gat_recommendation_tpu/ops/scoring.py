@@ -16,12 +16,18 @@ B=512, V=466,880, k=20):
     eval where measurement noise dominates, never for published numbers.
 
 Exactness of two_level_topk (including ties): chunks are CONTIGUOUS index
-ranges and both levels break ties by lowest index, matching lax.top_k. If a
-candidate e (value v, global index g, chunk c) is excluded at level 1, then
-k chunks ranked above c each contain an element with value > v, or value
->= v in a lower-index chunk — i.e. with global index < g. Either way at
-least k elements precede e in (value desc, index asc) order, so exact
-top-k excludes e too.
+ranges and both levels break ties by lowest index, matching lax.top_k.
+Level 1 (membership): if a candidate e (value v, global index g, chunk c)
+is excluded at level 1, then k chunks ranked above c each contain an
+element with value > v, or value >= v in a lower-index chunk — i.e. with
+global index < g. Either way at least k elements precede e in (value desc,
+index asc) order, so exact top-k excludes e too. Level 2 (ranking): the k
+winning chunks are re-SORTED by chunk index before the candidate gather,
+so candidate position order equals global index order and lax.top_k's
+position tie-break over the candidates equals the dense tie-break. (Without
+the sort, candidates sit in chunk-RANK order and a cross-chunk tie can
+resolve to the higher global index — e.g. scores [5,0,10,5], chunk=2, k=2
+gave [2,3] where dense gives [2,0].)
 """
 
 from __future__ import annotations
@@ -63,8 +69,8 @@ def two_level_topk(
     """Exact top-k via chunk-max preselection (see module docstring).
 
     Falls back to dense_topk when V is small, not chunk-divisible (tables
-    are padded to a 64-row multiple, so 8/16/32/64 always divide), or has
-    fewer than k chunks.
+    are padded to a TABLE_PAD_MULTIPLE=512-row multiple, so 8/16/32/64
+    always divide), or has fewer than k chunks.
     """
     V = item_embeddings.shape[0]
     NC = V // chunk
@@ -76,6 +82,10 @@ def two_level_topk(
     chunked = scores.reshape(B, NC, chunk)
     maxes = chunked.max(axis=-1)  # [B, NC]
     _, top_chunks = jax.lax.top_k(maxes, k)  # [B, k]
+    # Ascending chunk order => candidate positions ascend in global index,
+    # making the level-2 tie-break identical to dense lax.top_k (see module
+    # docstring). Membership is unaffected; the sort of k ints is free.
+    top_chunks = jnp.sort(top_chunks, axis=1)
     cand = jnp.take_along_axis(chunked, top_chunks[:, :, None], axis=1)
     cand = cand.reshape(B, k * chunk)
     base = top_chunks[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)

@@ -118,6 +118,10 @@ void assemble_batch(
 
     // Negatives: rejection sample from [1, num_items) excluding the full
     // session (context + target). Sessions are tiny; linear scan of uniq.
+    // Bounded attempts guard termination when num_items <= 1 or the session
+    // covers nearly the whole catalog (tiny test datasets) — after the cap,
+    // in-session negatives are permitted (matches the numpy engine's
+    // sample_negatives fallback, data/batching.py).
     int64_t m = 0;
     for (int64_t i = 0; i < len; ++i) uniq[m++] = items[start + i];
     std::sort(uniq, uniq + m);
@@ -125,12 +129,21 @@ void assemble_batch(
 
     uint64_t rng = seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(b + 1));
     int64_t got = 0;
-    while (got < num_negatives) {
-      const int64_t cand = 1 + (int64_t)(splitmix64(&rng) % (uint64_t)(num_items - 1));
-      const int64_t* hit = std::lower_bound(uniq, uniq + m, cand);
-      if (hit != uniq + m && *hit == cand) continue;
-      negatives[b * num_negatives + got++] = static_cast<int32_t>(cand);
-    }
+    if (num_items > 1) {
+      int64_t attempts = 0;
+      const int64_t max_attempts = 128 * num_negatives;
+      while (got < num_negatives && attempts < max_attempts) {
+        ++attempts;
+        const int64_t cand = 1 + (int64_t)(splitmix64(&rng) % (uint64_t)(num_items - 1));
+        const int64_t* hit = std::lower_bound(uniq, uniq + m, cand);
+        if (hit != uniq + m && *hit == cand) continue;
+        negatives[b * num_negatives + got++] = static_cast<int32_t>(cand);
+      }
+      while (got < num_negatives) {  // degenerate catalog fallback
+        const int64_t cand = 1 + (int64_t)(splitmix64(&rng) % (uint64_t)(num_items - 1));
+        negatives[b * num_negatives + got++] = static_cast<int32_t>(cand);
+      }
+    }  // num_items <= 1: negatives stay 0 (padding id, masked downstream)
   }
 }
 

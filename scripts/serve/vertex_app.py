@@ -48,18 +48,62 @@ _tracer = None
 
 
 def setup_tracing() -> None:
-    """OpenTelemetry with graceful no-op degradation (reference :46-70)."""
+    """OpenTelemetry with graceful no-op degradation (reference :46-70).
+
+    Reference parity (:46-70, :472-481): a Cloud Trace span exporter is
+    attached when the exporter package + project are available, and every
+    HTTP request gets a server span (the stdlib-transport equivalent of the
+    reference's FastAPIInstrumentor auto-instrumentation) — see the request
+    handlers, which wrap handle() in `_request_span`.
+    """
     global _tracer
     try:
         from opentelemetry import trace
         from opentelemetry.sdk.trace import TracerProvider
 
         provider = TracerProvider()
+        exporter = None
+        try:  # Cloud Trace exporter (reference :52-63); optional dep
+            from opentelemetry.exporter.cloud_trace import CloudTraceSpanExporter
+            from opentelemetry.sdk.trace.export import BatchSpanProcessor
+
+            project = os.environ.get("GOOGLE_CLOUD_PROJECT")
+            exporter = CloudTraceSpanExporter(project_id=project) if project else None
+            if exporter is not None:
+                provider.add_span_processor(BatchSpanProcessor(exporter))
+        except Exception:
+            pass
         trace.set_tracer_provider(provider)
         _tracer = trace.get_tracer("vertex_app")
-        print("[vertex] OpenTelemetry tracing enabled")
+        print(
+            "[vertex] OpenTelemetry tracing enabled"
+            + (" (Cloud Trace export on)" if exporter is not None else " (no exporter)")
+        )
     except Exception as e:  # pragma: no cover
         print(f"[vertex] tracing disabled: {e}")
+
+
+class _request_span:
+    """Server span around one HTTP request (FastAPIInstrumentor equivalent
+    for the stdlib transport; reference vertex_app.py:472-481)."""
+
+    def __init__(self, method: str, path: str):
+        self.span = _tracer.start_span(f"{method} {path}") if _tracer else None
+        if self.span:
+            self.span.set_attribute("http.request.method", method)
+            self.span.set_attribute("url.path", path)
+
+    def set_status(self, status: int) -> None:
+        if self.span:
+            self.span.set_attribute("http.response.status_code", status)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if self.span:
+            self.span.end()
+        return False
 
 
 def download_from_gcs(uri: str, dest: Path) -> None:
@@ -189,7 +233,9 @@ def make_server(model, host: str = "0.0.0.0", port: int = PORT):
 
         def do_GET(self):  # noqa: N802
             t0 = time.perf_counter()
-            status, payload = handle(model, "GET", self.path, None)
+            with _request_span("GET", self.path) as span:
+                status, payload = handle(model, "GET", self.path, None)
+                span.set_status(status)
             self._send(status, payload)
             self._observe(self.path, status, t0)
 
@@ -202,7 +248,9 @@ def make_server(model, host: str = "0.0.0.0", port: int = PORT):
                 self._send(400, {"detail": "invalid JSON"})
                 self._observe(self.path, 400, t0)
                 return
-            status, payload = handle(model, "POST", self.path, body)
+            with _request_span("POST", self.path) as span:
+                status, payload = handle(model, "POST", self.path, body)
+                span.set_status(status)
             self._send(status, payload)
             self._observe(self.path, status, t0)
 

@@ -53,6 +53,45 @@ def test_sample_negatives_excludes_session():
     assert (negs >= 1).all() and (negs < 100).all()
 
 
+def test_sample_negatives_terminates_on_degenerate_catalogs():
+    """Regression (ADVICE r1): rejection sampling must not loop forever when
+    num_items <= 1 or the session covers (nearly) the whole catalog."""
+    rng = np.random.default_rng(0)
+    # Catalog of {0}: no valid candidate range at all.
+    negs = sample_negatives(rng, set(), 1, 5)
+    assert negs.shape == (5,)
+    # Session covers every non-padding item: falls back to in-session negatives.
+    negs = sample_negatives(rng, set(range(0, 4)), 4, 5)
+    assert negs.shape == (5,)
+    assert (negs >= 1).all() and (negs < 4).all()
+
+
+def test_prefetch_abandoned_generator_stops_worker():
+    """Regression (ADVICE r1): breaking out of a prefetch generator early
+    must unblock (and stop) the worker thread instead of leaking it."""
+    import threading
+    import time
+
+    from gat_recommendation_tpu.data.batching import prefetch_to_device
+
+    produced = []
+
+    def source():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    gen = prefetch_to_device(source(), size=2, transfer=lambda x: x)
+    assert next(gen) == 0
+    gen.close()  # abandon mid-epoch
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    assert len(produced) < 100  # worker stopped early, didn't drain the source
+
+
 def test_pick_bucket():
     assert pick_bucket(3, DEFAULT_BUCKETS) == 8
     assert pick_bucket(8, DEFAULT_BUCKETS) == 8
@@ -127,3 +166,17 @@ def test_truncation_to_max_length():
     items = ds.session_items(0)
     assert len(items) == 50
     assert items[0] == 30 % 7 + 1  # kept the LAST 50 events
+
+
+def test_large_max_session_length_extends_buckets():
+    """Regression (VERDICT r1 weak #6): --max-session-length beyond the
+    largest default bucket must not silently truncate nodes."""
+    # One session of 70 distinct items: 69 unique context nodes > 56.
+    rows = [("s", t, t + 1) for t in range(70)] * 1
+    rows += [("t", t, t + 1) for t in range(5)]
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    ds = SessionDataset(df, (np.array([1]), np.array([2])), max_session_length=100)
+    batches = list(iterate_batches(ds, batch_size=2, shuffle=False, seed=0))
+    seen_nodes = max(int(b.num_nodes.max()) for b in batches)
+    assert seen_nodes == 69  # nothing dropped
+    assert max(b.nodes_per_session for b in batches) >= 69

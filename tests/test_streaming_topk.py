@@ -46,6 +46,35 @@ def test_two_level_ties_resolve_to_lowest_index():
     np.testing.assert_array_equal(np.asarray(got_i)[0], np.arange(5))
 
 
+def test_two_level_cross_chunk_tie_matches_dense():
+    """Regression (ADVICE r1): a tie spanning chunks must resolve to the
+    LOWEST global index, like lax.top_k. scores [5,0,10,5] with chunk=2,
+    k=2 previously returned [2,3] (candidate/chunk-rank order) vs dense
+    [2,0]."""
+    # Embed the literal counterexample: D=1 embeddings so scores are exact.
+    sess = jnp.ones((1, 1), jnp.float32)
+    table = jnp.asarray([[5.0], [0.0], [10.0], [5.0]] + [[-1.0]] * 60, jnp.float32)
+    want_s, want_i = scoring.dense_topk(sess, table, 2)
+    got_s, got_i = scoring.two_level_topk(sess, table, 2, chunk=2)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_i)[0], [2, 0])
+
+
+def test_two_level_random_ties_match_dense():
+    """Exhaustive-ish tie fuzz: low-cardinality integer scores force many
+    cross-chunk ties; two-level must match dense exactly, indices included."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        V, chunk, k = 256, 8, 7
+        # Rank-1 decomposition keeps scores exactly representable: sess=1.
+        vals = rng.integers(0, 4, size=(V, 1)).astype(np.float32)
+        sess = jnp.ones((3, 1), jnp.float32) * jnp.asarray([[1.0], [2.0], [0.5]])
+        table = jnp.asarray(vals)
+        want_s, want_i = scoring.dense_topk(sess, table, k)
+        got_s, got_i = scoring.two_level_topk(sess, table, k, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_two_level_fallbacks():
     # Indivisible V and tiny catalogs fall back to dense (still correct).
     sess, table = make(100, seed=2)
