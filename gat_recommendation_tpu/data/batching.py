@@ -583,6 +583,7 @@ def iterate_batches(
     process_count: int = 1,
     with_global_meta: bool = False,
     with_global_ids: bool = False,
+    workers: int = 0,
 ):
     """Yield SessionBatches covering one epoch.
 
@@ -601,7 +602,15 @@ def iterate_batches(
     meta.ids for the replicated multi-host GradIndex. numpy-engine negatives
     are keyed by GLOBAL slot, so the concatenation of all processes' local
     batches is bit-identical to the process_count=1 batch (asserted by
-    __graft_entry__.dryrun_multichip and tests/test_multihost_sim.py).
+    __graft_entry__.dryrun_multichip and tests/test_multihost.py).
+
+    workers > 0 assembles batches on a thread pool (bounded in-flight
+    window, order preserved). The C++ engine releases the GIL during
+    assembly, so this scales near-linearly and is how the host keeps up
+    with the TPU step rate (bench.py --e2e; the reference used torch
+    DataLoader worker PROCESSES for the same purpose, dataloader.py:235-241).
+    Determinism is unchanged: every batch's content is a pure function of
+    (seed, batch_index, slot), never of assembly order.
     """
     engine = _resolve_engine(engine)
     assert batch_size % process_count == 0, (
@@ -627,30 +636,57 @@ def iterate_batches(
     if engine == "native":
         from gat_recommendation_tpu.data import native
 
+    schedule = []
     batch_index = 0
     for bucket_n in buckets:
         idxs = by_bucket[bucket_n]
         for lo in range(0, len(idxs), batch_size):
-            chunk = idxs[lo : lo + batch_size]
-            local_chunk = chunk[process_index * local : (process_index + 1) * local]
-            if engine == "native":
-                batch_seed = _native_batch_seed(seed, batch_index, process_index)
-                batch = native.assemble_batch(
-                    dataset, local_chunk, local, bucket_n, batch_seed
-                )
-            else:
-                samples = [
-                    dataset.sample(i, _slot_rng(seed, batch_index, process_index * local + s))
-                    for s, i in enumerate(local_chunk)
-                ]
-                samples += [None] * (local - len(local_chunk))
-                batch = collate(samples, bucket_n, dataset.num_negatives)
-            if with_global_meta:
-                meta = _global_batch_meta(
-                    dataset, chunk, batch_size, bucket_n, seed, batch_index,
-                    engine, process_count, with_global_ids,
-                )
-                yield batch, meta
-            else:
-                yield batch
+            schedule.append((idxs[lo : lo + batch_size], bucket_n, batch_index))
             batch_index += 1
+
+    def build(item):
+        chunk, bucket_n, bi = item
+        local_chunk = chunk[process_index * local : (process_index + 1) * local]
+        if engine == "native":
+            batch = native.assemble_batch(
+                dataset, local_chunk, local, bucket_n,
+                _native_batch_seed(seed, bi, process_index),
+            )
+        else:
+            samples = [
+                dataset.sample(i, _slot_rng(seed, bi, process_index * local + s))
+                for s, i in enumerate(local_chunk)
+            ]
+            samples += [None] * (local - len(local_chunk))
+            batch = collate(samples, bucket_n, dataset.num_negatives)
+        if with_global_meta:
+            meta = _global_batch_meta(
+                dataset, chunk, batch_size, bucket_n, seed, bi,
+                engine, process_count, with_global_ids,
+            )
+            return batch, meta
+        return batch
+
+    if workers <= 0:
+        for item in schedule:
+            yield build(item)
+        return
+
+    # Thread-pool assembly with a bounded in-flight window (order preserved;
+    # an unbounded executor.map would materialize the whole epoch in RAM).
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        inflight: collections.deque = collections.deque()
+        it = iter(schedule)
+        try:
+            for item in it:
+                inflight.append(ex.submit(build, item))
+                if len(inflight) >= 2 * workers:
+                    yield inflight.popleft().result()
+            while inflight:
+                yield inflight.popleft().result()
+        finally:
+            for f in inflight:
+                f.cancel()

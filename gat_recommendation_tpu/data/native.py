@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -19,6 +20,7 @@ _LIB_PATH = _NATIVE_DIR / "libbatcher.so"
 
 _lib = None
 _load_attempted = False
+_load_lock = threading.Lock()  # assembly runs on thread pools (iterate_batches)
 
 
 def _i64p(a):
@@ -37,7 +39,22 @@ def _load():
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
-    _load_attempted = True
+    return _load_locked()
+
+
+def _load_locked():
+    global _lib, _load_attempted
+    with _load_lock:
+        if _lib is not None or _load_attempted:
+            return _lib
+        return _do_load()
+
+
+def _do_load():
+    # Runs under _load_lock. _load_attempted is set only AFTER _lib is
+    # assigned (or the load definitively failed), so the unlocked fast path
+    # in _load() can never observe attempted=True with the lib mid-load.
+    global _lib, _load_attempted
     if not _LIB_PATH.exists():
         try:
             subprocess.run(
@@ -47,10 +64,12 @@ def _load():
                 check=True,
             )
         except Exception:
+            _load_attempted = True
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _load_attempted = True
         return None
     lib.build_csr.restype = None
     lib.build_csr.argtypes = [
@@ -63,8 +82,10 @@ def _load():
     ]
     lib.assemble_batch.restype = None
     lib.assemble_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64),  # items
-        ctypes.POINTER(ctypes.c_int64),  # offsets
+        ctypes.POINTER(ctypes.c_int64),  # items_all (dataset flat items)
+        ctypes.POINTER(ctypes.c_int64),  # offsets_all (dataset per-session)
+        ctypes.POINTER(ctypes.c_int64),  # sess_idx
+        ctypes.c_int64,  # n_sel
         ctypes.c_int64,  # batch_size
         ctypes.POINTER(ctypes.c_int64),  # indptr
         ctypes.POINTER(ctypes.c_int32),  # indices
@@ -81,6 +102,7 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),  # sample_mask
     ]
     _lib = lib
+    _load_attempted = True
     return _lib
 
 
@@ -110,16 +132,9 @@ def assemble_batch(dataset, chunk: list, batch_size: int, bucket_n: int, seed: i
     lib = _load()
     assert lib is not None, "libbatcher.so unavailable"
 
-    # Flat items + offsets for the selected sessions; padding slots are
-    # empty ranges (offsets[b] == offsets[b+1]).
-    lengths = np.zeros(batch_size, dtype=np.int64)
-    for b, idx in enumerate(chunk):
-        lengths[b] = dataset.offsets[idx + 1] - dataset.offsets[idx]
-    offsets = np.zeros(batch_size + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    items = np.zeros(int(offsets[-1]), dtype=np.int64)
-    for b, idx in enumerate(chunk):
-        items[offsets[b] : offsets[b + 1]] = dataset.session_items(idx)
+    # The C engine indexes the dataset's flat (items, offsets) arrays
+    # directly via the selected session indices — no per-batch copies.
+    sess_idx = np.ascontiguousarray(chunk, dtype=np.int64)
 
     K = dataset.num_negatives
     node_ids = np.zeros((batch_size, bucket_n), dtype=np.int32)
@@ -131,8 +146,10 @@ def assemble_batch(dataset, chunk: list, batch_size: int, bucket_n: int, seed: i
     sample_mask = np.zeros(batch_size, dtype=np.uint8)
 
     lib.assemble_batch(
-        _i64p(items),
-        _i64p(offsets),
+        _i64p(dataset.items),
+        _i64p(dataset.offsets),
+        _i64p(sess_idx),
+        len(sess_idx),
         batch_size,
         _i64p(dataset.graph.indptr),
         _i32p(dataset.graph.indices),

@@ -21,15 +21,20 @@ def generate_synthetic_events(
     seed: int = 42,
     start_ts: int = 1_430_000_000_000,  # May 2015 (RetailRocket era), ms
     mean_session_length: int = 8,
+    zipf_exponent: float = 1.5,
 ) -> pd.DataFrame:
+    """zipf_exponent 1.5 is reference parity (00_generate_synthetic_data.py);
+    at reference-scale catalogs (466k items) 1.5 is too head-heavy to
+    reproduce RetailRocket's ~82k-node co-occurrence graph — use ~1.2 for a
+    RetailRocket-shaped corpus (docs/EXPERIMENTS.md)."""
     rng = np.random.default_rng(seed)
 
-    # Zipf(1.5) popularity over a permuted catalog. Draws are vectorized as
+    # Zipf popularity over a permuted catalog. Draws are vectorized as
     # searchsorted(cumprobs, U) — rng.choice(p=...) is O(num_items) PER DRAW
     # and made reference-scale generation (2.7M events x 466k items)
     # infeasible.
     ranks = np.arange(1, num_items + 1, dtype=np.float64)
-    probs = ranks**-1.5
+    probs = ranks**-zipf_exponent
     cumprobs = np.cumsum(probs / probs.sum())
     perm = rng.permutation(num_items)
 

@@ -35,18 +35,24 @@ TILE = 256
 MAX_SUMMED_BYTES = 8 * 1024 * 1024
 
 
-def supports(rows: int, num_unique_slots: int, dim: int) -> bool:
-    return rows % TILE == 0 and num_unique_slots * dim * 4 <= MAX_SUMMED_BYTES
+def supports(rows: int, num_unique_slots: int, dim: int, n_shards: int = 1) -> bool:
+    """True when the (possibly 'model'-sharded) kernel can run: each shard's
+    row block tiles evenly and the replicated summed block fits VMEM."""
+    return (
+        rows % (TILE * n_shards) == 0
+        and num_unique_slots * dim * 4 <= MAX_SUMMED_BYTES
+    )
 
 
 def _kernel(lr, b1, b2, eps, wd,
-            offs_ref, bc_ref, uid_ref, summed_ref,
+            offs_ref, bc_ref, base_ref, uid_ref, summed_ref,
             table_ref, mu_ref, nu_ref,
             out_table_ref, out_mu_ref, out_nu_ref,
             mu_scratch, nu_scratch):
     i = pl.program_id(0)
     start = offs_ref[i]
     end = offs_ref[i + 1]
+    base = base_ref[0]  # first global row of this table (shard) — 0 unsharded
 
     # Work in f32 scratch regardless of the moment STORAGE dtype (bf16
     # moments halve HBM traffic; compute precision stays f32).
@@ -59,7 +65,7 @@ def _kernel(lr, b1, b2, eps, wd,
     c2 = (1.0 - b2) / b2
 
     def add_row(j, _):
-        local = uid_ref[j, 0] - i * TILE
+        local = uid_ref[j, 0] - base - i * TILE
         s = summed_ref[pl.ds(j, 1), :]
         mu_scratch[pl.ds(local, 1), :] = mu_scratch[pl.ds(local, 1), :] + c1 * s
         nu_scratch[pl.ds(local, 1), :] = nu_scratch[pl.ds(local, 1), :] + c2 * s * s
@@ -95,14 +101,23 @@ def fused_sparse_adamw(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ):
-    """One-pass AdamW with sparse contributions. Returns (table', mu', nu')."""
+    """One-pass AdamW with sparse contributions. Returns (table', mu', nu').
+
+    row_offset: first GLOBAL row id covered by `table` — nonzero when
+    `table` is one 'model'-axis shard of the full table and uid carries
+    global ids (sharded_fused_sparse_adamw). uid entries outside
+    [row_offset, row_offset + rows) fall into empty searchsorted slices and
+    never touch a tile.
+    """
     rows, dim = table.shape
     assert rows % TILE == 0, f"table rows {rows} must be a multiple of {TILE}"
     num_tiles = rows // TILE
 
-    tile_starts = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE
+    base = jnp.asarray(row_offset, jnp.int32)
+    tile_starts = base + jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE
     offs = jnp.searchsorted(uid, tile_starts, side="left").astype(jnp.int32)
     uid2d = uid.reshape(-1, 1)
     c = jnp.asarray(count, jnp.float32)
@@ -119,7 +134,7 @@ def fused_sparse_adamw(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             full(uid2d.shape),
@@ -144,7 +159,61 @@ def fused_sparse_adamw(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # args: offs(0) bc(1) uid(2) summed(3) table(4) mu(5) nu(6)
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        # args: offs(0) bc(1) base(2) uid(3) summed(4) table(5) mu(6) nu(7)
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
-    )(offs, bc, uid2d, summed, table, mu, nu)
+    )(offs, bc, base.reshape(1), uid2d, summed, table, mu, nu)
+
+
+def sharded_fused_sparse_adamw(
+    table: jax.Array,
+    mu: jax.Array,
+    nu: jax.Array,
+    uid: jax.Array,
+    summed: jax.Array,
+    count: jax.Array,
+    mesh,
+    *,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    interpret: bool = False,
+):
+    """The fused kernel under a ('data','model') mesh (VERDICT r1 next #4).
+
+    table/mu/nu are row-sharded over 'model'; (uid, summed) are replicated
+    (they index the GLOBAL row space). shard_map runs one kernel per shard
+    with row_offset = shard * rows_per_shard: each shard's searchsorted
+    finds only its own rows in the ascending uid, so no communication is
+    needed — the update is embarrassingly row-parallel, exactly why the
+    table is row-sharded (docs/PARALLELISM.md).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    n_model = mesh.shape["model"]
+    rows = table.shape[0]
+    assert rows % n_model == 0
+    rows_per_shard = rows // n_model
+
+    def per_shard(t, m, n, u, s, c):
+        shard = jax.lax.axis_index("model")
+        return fused_sparse_adamw(
+            t, m, n, u, s, c,
+            lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            row_offset=shard * rows_per_shard, interpret=interpret,
+        )
+
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P("model", None), P("model", None), P("model", None),
+            P(None), P(None, None), P(),
+        ),
+        out_specs=(P("model", None), P("model", None), P("model", None)),
+        check_vma=False,
+    )(table, mu, nu, uid, summed, count)

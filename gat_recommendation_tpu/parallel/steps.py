@@ -66,17 +66,16 @@ def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
     Same math (sparse embedding gradients + scatter-first AdamW); GSPMD
     partitions the row-sharded table/moment scatters per shard. The
     GradIndex is replicated (it indexes the GLOBAL row space; the unique-id
-    reduction is a whole-batch property). The Pallas kernel is single-device
-    only, so the optimizer must run its XLA path here (use_pallas=False).
+    reduction is a whole-batch property). With use_pallas the optimizer runs
+    the single-pass kernel shard_mapped over 'model' row shards
+    (ops/pallas/sparse_adamw.sharded_fused_sparse_adamw) — each shard's
+    searchsorted finds its own rows in the ascending uid, so the kernel's
+    one-HBM-pass win survives sharding with zero added collectives.
 
     Accepts (batch, gidx) tuples or a bare SessionBatch like the
     single-device step.
     """
     assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
-    assert not getattr(optimizer, "use_pallas", False), (
-        "Pallas sparse-AdamW kernel is single-device; construct "
-        "FusedEmbeddingAdamW(use_pallas=False) for mesh training"
-    )
 
     def step(params, state, opt_state, batch, gidx, rng):
         B, N = batch.node_ids.shape
@@ -108,7 +107,7 @@ def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
         )
         summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
         new_params, new_opt_state = optimizer.update_sparse(
-            g_other, gidx.uid, summed, opt_state, params
+            g_other, gidx.uid, summed, opt_state, params, mesh=mesh
         )
         return new_params, new_state, new_opt_state, loss
 

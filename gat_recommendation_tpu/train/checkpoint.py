@@ -35,15 +35,24 @@ def _leaf_paths(tree) -> list[str]:
 
 
 def save(path: str | Path, params, state, opt_state, meta: dict) -> None:
+    """Save arrays + meta sidecar.
+
+    Multi-host safe: the Orbax array save is a COLLECTIVE — every process
+    must call save() (each writes its addressable shards of sharded arrays);
+    the meta.json sidecar is written by process 0 only (the checkpoint
+    directory is shared storage in multi-host deployments).
+    """
     path = Path(path).absolute()
-    path.parent.mkdir(parents=True, exist_ok=True)
+    if jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
     tree = {"params": params, "state": state, "opt_state": opt_state}
     leaves, treedef = jax.tree.flatten(tree)
     _checkpointer().save(path / "arrays", {str(i): leaf for i, leaf in enumerate(leaves)}, force=True)
-    meta = dict(meta)
-    meta["leaf_paths"] = _leaf_paths(tree)
-    with open(path / "meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    if jax.process_index() == 0:
+        meta = dict(meta)
+        meta["leaf_paths"] = _leaf_paths(tree)
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
 
 
 def _verify_manifest(meta: dict, tree) -> None:

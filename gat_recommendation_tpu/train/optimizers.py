@@ -99,7 +99,7 @@ class FusedEmbeddingAdamW:
         return new_params, new_state
 
     def update_sparse(self, g_rest: dict, uid: jax.Array, summed: jax.Array,
-                      state: dict, params: dict):
+                      state: dict, params: dict, mesh=None):
         """Sparse embedding update: the table gradient arrives pre-reduced as
         (uid, summed) — unique row ids plus their summed gradient rows, built
         by make_sparse_train_step from the host-computed GradIndex — instead
@@ -119,14 +119,26 @@ class FusedEmbeddingAdamW:
 
         from gat_recommendation_tpu.ops.pallas import sparse_adamw as sk
 
-        if self.use_pallas and sk.supports(table.shape[0], uid.shape[0], table.shape[1]):
+        n_shards = int(mesh.shape["model"]) if mesh is not None else 1
+        if self.use_pallas and sk.supports(
+            table.shape[0], uid.shape[0], table.shape[1], n_shards
+        ):
             # Single-pass Pallas kernel: one HBM round-trip over
             # table/mu/nu (the traffic floor) instead of the XLA path's two.
-            new_table, mu, nu = sk.fused_sparse_adamw(
-                table, state["emb_mu"], state["emb_nu"], uid, summed, count,
-                lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
-                weight_decay=self.weight_decay,
-            )
+            if mesh is not None:
+                # shard_map over 'model' row shards: each shard locates its
+                # own rows in the ascending (global-id) uid — no collectives.
+                new_table, mu, nu = sk.sharded_fused_sparse_adamw(
+                    table, state["emb_mu"], state["emb_nu"], uid, summed, count,
+                    mesh, lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
+                    weight_decay=self.weight_decay,
+                )
+            else:
+                new_table, mu, nu = sk.fused_sparse_adamw(
+                    table, state["emb_mu"], state["emb_nu"], uid, summed, count,
+                    lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
+                    weight_decay=self.weight_decay,
+                )
         else:
             # mode="drop": sentinel-padded tail slots (UID_SENTINEL, out of
             # range) fall away instead of clamping onto the last row.

@@ -186,11 +186,9 @@ class Trainer:
         if optimizer is None and self.sparse_embedding_grads:
             from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
 
-            # The Pallas kernel is single-device; mesh training uses the
-            # XLA sparse path (GSPMD partitions the sharded-table scatters).
-            optimizer = FusedEmbeddingAdamW(
-                1e-3, weight_decay=1e-5, use_pallas=False if mesh is not None else None
-            )
+            # auto: single-pass Pallas AdamW on TPU (shard_mapped over
+            # 'model' row shards under a mesh), XLA sparse path elsewhere.
+            optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)
         self.optimizer = optimizer or optax.adamw(1e-3, weight_decay=1e-5)
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -250,10 +248,35 @@ class Trainer:
         from gat_recommendation_tpu.data.batching import to_device
 
         if self.mesh is not None:
-            from gat_recommendation_tpu.parallel.steps import shard_batch
+            from gat_recommendation_tpu.parallel.distributed import make_global_batch
 
-            return shard_batch(batch, self.mesh)
+            # Multi-host: `batch` holds only this process's rows; the global
+            # sharded array is bound per process (single-process: shard_batch).
+            return make_global_batch(batch, self.mesh)
         return to_device(batch)
+
+    def _transfer(self, item):
+        """Move one epoch item to the device/mesh.
+
+        Items are either a SessionBatch or a (SessionBatch, GlobalBatchMeta)
+        pair (multi-host iteration, data/batching.iterate_batches). For the
+        sparse-grad path the GradIndex comes from meta.ids when present (it
+        must index the GLOBAL batch) and from the local batch otherwise.
+        """
+        from gat_recommendation_tpu.data.batching import (
+            make_grad_index,
+            make_grad_index_from_ids,
+        )
+
+        batch, meta = item if isinstance(item, tuple) else (item, None)
+        dbatch = self._to_device(batch)
+        if not self.sparse_embedding_grads:
+            return dbatch
+        if meta is not None and meta.ids is not None:
+            gidx = make_grad_index_from_ids(meta.ids)
+        else:
+            gidx = make_grad_index(batch)
+        return (dbatch, gidx)
 
     # -- epoch work --------------------------------------------------------
 
@@ -266,16 +289,11 @@ class Trainer:
         losses = []
         root = jax.random.key(self.seed)
         epoch_rng = jax.random.fold_in(root, self.current_epoch)
-        if self.sparse_embedding_grads:
-            from gat_recommendation_tpu.data.batching import make_grad_index
-
-            # Build the sparse-gradient index on the host (numpy argsort is
-            # ~us-scale) before the device transfer, alongside the batch.
-            transfer = lambda hb: (self._to_device(hb), make_grad_index(hb))  # noqa: E731
-        else:
-            transfer = self._to_device
+        # _transfer builds the sparse-gradient index on the host (numpy
+        # argsort is ~us-scale) before the device transfer, alongside the
+        # batch, and handles multi-host (batch, meta) items.
         batches = prefetch_to_device(
-            self.train_batches(self.current_epoch), size=2, transfer=transfer
+            self.train_batches(self.current_epoch), size=2, transfer=self._transfer
         )
         for step, dbatch in enumerate(batches):
             rng = jax.random.fold_in(epoch_rng, step)
@@ -290,14 +308,32 @@ class Trainer:
         avg = float(jnp.mean(jnp.stack(losses)))  # single device->host readback
         return params, state, opt_state, avg
 
+    def _replicate_output(self, x):
+        """Make a 'data'-sharded eval output fully addressable on every host
+        (device all-gather; identity in single-process runs) so all processes
+        compute identical metrics and agree on early stopping."""
+        if self.mesh is None or jax.process_count() == 1:
+            return x
+        if not hasattr(self, "_replicate_jit"):
+            from gat_recommendation_tpu.parallel.mesh import replicated
+
+            self._replicate_jit = jax.jit(
+                lambda a: a, out_shardings=replicated(self.mesh)
+            )
+        return self._replicate_jit(x)
+
     def evaluate(self, params, state) -> dict:
         # Keep per-batch top-k on device; one concatenated readback at the
         # end (per-batch readbacks serialize the pipeline).
         device_tops, masks, targets = [], [], []
-        for batch in self.val_batches():
-            device_tops.append(self._eval_step(params, state, self._to_device(batch)))
-            masks.append(np.asarray(batch.sample_mask))
-            targets.append(np.asarray(batch.targets))
+        for item in self.val_batches():
+            batch, meta = item if isinstance(item, tuple) else (item, None)
+            top = self._eval_step(params, state, self._to_device(batch))
+            device_tops.append(self._replicate_output(top))
+            # Multi-host: metrics need GLOBAL targets/masks (the local batch
+            # holds only this process's rows) — GlobalBatchMeta carries them.
+            masks.append(np.asarray(meta.sample_mask if meta is not None else batch.sample_mask))
+            targets.append(np.asarray(meta.targets if meta is not None else batch.targets))
         if not device_tops:
             predictions = np.zeros((0, max(self.k_values)), int)
             targets_arr = np.zeros((0,), int)
@@ -385,7 +421,8 @@ class Trainer:
                     logger.info(f"Early stopping at epoch {epoch}")
                     break
 
-        with open(self.output_dir / "history.json", "w") as f:
-            json.dump(self.history, f, indent=2)
+        if jax.process_index() == 0:  # shared storage in multi-host runs
+            with open(self.output_dir / "history.json", "w") as f:
+                json.dump(self.history, f, indent=2)
         self._final = (params, state, opt_state)
         return self.history

@@ -14,12 +14,16 @@ def main() -> None:
     p.add_argument("--output-file", type=str, default="data/raw/events.csv")
     p.add_argument("--num-sessions", type=int, default=20_000)
     p.add_argument("--num-items", type=int, default=5_000)
+    p.add_argument("--mean-session-length", type=int, default=8)
+    p.add_argument("--zipf-exponent", type=float, default=1.5)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
     logger = get_logger(__name__)
     events = generate_synthetic_events(
-        num_sessions=args.num_sessions, num_items=args.num_items, seed=args.seed
+        num_sessions=args.num_sessions, num_items=args.num_items, seed=args.seed,
+        mean_session_length=args.mean_session_length,
+        zipf_exponent=args.zipf_exponent,
     )
     out = Path(args.output_file)
     out.parent.mkdir(parents=True, exist_ok=True)

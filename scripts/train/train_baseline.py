@@ -57,6 +57,21 @@ def parse_args():
                    help="sparse embedding gradients + fused AdamW (2.5x faster on "
                         "TPU, same math — docs/PERFORMANCE.md); --no-sparse-grads "
                         "uses the dense optax step")
+    p.add_argument("--workers", type=int, default=3,
+                   help="host batch-assembly threads (C++ engine releases the GIL)")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="store the embedding-table AdamW moments in bfloat16 "
+                        "(halves moment HBM traffic; quality impact measured in "
+                        "docs/PERFORMANCE.md)")
+    p.add_argument("--distributed", choices=["auto", "off"], default="auto",
+                   help="auto: jax.distributed.initialize() when a multi-process "
+                        "launch is detected (COORDINATOR_ADDRESS/NUM_PROCESSES/"
+                        "PROCESS_ID env or TPU pod metadata); off: single process")
+    p.add_argument("--mesh", action=argparse.BooleanOptionalAction, default=None,
+                   help="train over a ('data','model') device mesh; default: on "
+                        "when >1 device is visible (incl. multi-host), off otherwise")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="size of the 'model' mesh axis (embedding-table row shards)")
     return p.parse_args()
 
 
@@ -80,6 +95,20 @@ def maybe_gcs_download(bucket: str | None, paths: list[str], logger) -> None:
 def main() -> None:
     args = parse_args()
     logger = get_logger(__name__)
+
+    # Multi-host: initialize jax.distributed BEFORE any other JAX API so
+    # jax.devices() is the global device list (parallel/distributed.py).
+    from gat_recommendation_tpu.parallel import distributed as dist
+
+    dist_active = dist.initialize() if args.distributed == "auto" else False
+    import jax
+
+    pindex, pcount = jax.process_index(), jax.process_count()
+    if dist_active:
+        logger.info(
+            f"Distributed: process {pindex}/{pcount}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
     set_seed(args.seed)
 
     maybe_gcs_download(
@@ -121,20 +150,41 @@ def main() -> None:
         model_kwargs["num_heads"] = args.num_heads
     model = create_model(args.model, num_items, **model_kwargs)
 
+    use_mesh = args.mesh if args.mesh is not None else (jax.device_count() > 1 or pcount > 1)
     if args.sparse_grads:
         from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
 
-        optimizer = FusedEmbeddingAdamW(args.lr, weight_decay=args.weight_decay)
+        # auto: single-pass Pallas AdamW on TPU (shard_mapped over 'model'
+        # row shards under a mesh — parallel/steps.py), XLA path elsewhere.
+        import jax.numpy as jnp
+
+        optimizer = FusedEmbeddingAdamW(
+            args.lr, weight_decay=args.weight_decay,
+            moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
+        )
     else:
         optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
 
+    mesh = None
+    if use_mesh:
+        from gat_recommendation_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_model=args.n_model)
+        logger.info(f"Mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
+
+    # Multi-host feeding: args.batch_size is the GLOBAL batch size; each
+    # process assembles its own rows of every global batch and the sparse
+    # path's GradIndex is reconstructed over the global id set (meta.ids).
+    feed = dict(process_index=pindex, process_count=pcount,
+                with_global_ids=args.sparse_grads and pcount > 1,
+                workers=args.workers)
     trainer = Trainer(
         model,
         train_batches=lambda epoch: iterate_batches(
-            train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed + epoch
+            train_ds, batch_size=args.batch_size, shuffle=True, seed=args.seed + epoch, **feed
         ),
         val_batches=lambda: iterate_batches(
-            val_ds, batch_size=args.batch_size, shuffle=False, seed=0
+            val_ds, batch_size=args.batch_size, shuffle=False, seed=0, **feed
         ),
         optimizer=optimizer,
         output_dir=Path(args.output_dir) / args.model,
@@ -143,6 +193,7 @@ def main() -> None:
         eval_every=args.eval_every,
         loss_fn=create_loss_function(args.loss_type, args.alpha, args.temperature),
         seed=args.seed,
+        mesh=mesh,
         sparse_embedding_grads=args.sparse_grads,
     )
 

@@ -93,6 +93,97 @@ def test_supports_gate():
     assert supports(4 * TILE, 1024, 256)
     assert not supports(4 * TILE + 1, 1024, 256)   # rows not tile-divisible
     assert not supports(4 * TILE, 16384, 256)      # summed too big for VMEM
+    assert supports(4 * TILE, 1024, 256, n_shards=2)
+    assert not supports(4 * TILE, 1024, 256, n_shards=3)  # shard not tile-divisible
+
+
+def test_row_offset_shard_equals_slice_of_global():
+    """Kernel with row_offset on a table SLICE == same rows of the global
+    update (the per-shard program sharded_fused_sparse_adamw runs)."""
+    args = make_inputs(rows=4 * TILE, seed=5)
+    table, mu, nu, uid, summed, count = args
+    want = fused_sparse_adamw(*args, **HP, interpret=True)
+    for shard in range(2):
+        lo, hi = shard * 2 * TILE, (shard + 1) * 2 * TILE
+        got = fused_sparse_adamw(
+            table[lo:hi], mu[lo:hi], nu[lo:hi], uid, summed, count,
+            **HP, row_offset=lo, interpret=True,
+        )
+        for w, g, name in zip(want, got, ["table", "mu", "nu"]):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w)[lo:hi], rtol=1e-6, atol=1e-7,
+                err_msg=f"shard {shard} {name}",
+            )
+
+
+def test_sharded_kernel_on_mesh_matches_xla():
+    """shard_mapped kernel on a (4,2) CPU mesh (interpret mode) == XLA path
+    (VERDICT r1 next #4: the kernel's win must survive the mesh)."""
+    from gat_recommendation_tpu.ops.pallas.sparse_adamw import sharded_fused_sparse_adamw
+    from gat_recommendation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    args = make_inputs(rows=4 * TILE, seed=6)
+    table, mu, nu, uid, summed, count = args
+    want = xla_reference(table, mu, nu, uid, summed, count)
+    got = sharded_fused_sparse_adamw(
+        table, mu, nu, uid, summed, jnp.asarray(count), mesh, **HP, interpret=True
+    )
+    for w, g, name in zip(want, got, ["table", "mu", "nu"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7, err_msg=name
+        )
+
+
+def test_sharded_sparse_step_uses_pallas_kernel_on_mesh():
+    """End-to-end: make_sharded_sparse_train_step with a use_pallas optimizer
+    (interpret-mode kernel) matches the XLA-path step on the same mesh."""
+    from gat_recommendation_tpu.data.batching import make_grad_index
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.parallel.mesh import make_mesh
+    from gat_recommendation_tpu.parallel.steps import (
+        make_sharded_sparse_train_step,
+        shard_batch,
+        shard_params,
+    )
+    from gat_recommendation_tpu.train.losses import dual_loss
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+    from gat_recommendation_tpu.ops.pallas import sparse_adamw as sk
+    from tests.multihost_case import make_case
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    ds, _, edges, num_items = make_case(num_sessions=40)
+    from gat_recommendation_tpu.data.batching import iterate_batches
+
+    batch = next(iter(iterate_batches(ds, 8, seed=0, engine="numpy")))
+    model = create_model("graph_transformer_optimized", num_items,
+                         embedding_dim=32, hidden_dim=32, laplacian_k=4)
+
+    results = {}
+    for name, use_pallas in [("xla", False), ("pallas", True)]:
+        opt = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=use_pallas)
+        if use_pallas:
+            # interpret mode on the CPU test backend
+            orig = sk.sharded_fused_sparse_adamw
+            sk_patch = lambda *a, **k: orig(*a, **{**k, "interpret": True})  # noqa: E731
+            sk.sharded_fused_sparse_adamw = sk_patch
+        try:
+            params, state = model.init_params(jax.random.key(0))
+            params, state, opt_state = shard_params(params, state, opt.init(params), mesh)
+            step = make_sharded_sparse_train_step(model, dual_loss, opt, mesh)
+            p2, s2, o2, loss = step(
+                params, state, opt_state,
+                (shard_batch(batch, mesh), make_grad_index(batch)),
+                jax.random.key(1),
+            )
+            results[name] = (np.asarray(p2["item_embedding"]), float(loss))
+        finally:
+            if use_pallas:
+                sk.sharded_fused_sparse_adamw = orig
+    np.testing.assert_allclose(results["pallas"][1], results["xla"][1], rtol=1e-6)
+    np.testing.assert_allclose(
+        results["pallas"][0], results["xla"][0], rtol=1e-5, atol=1e-7
+    )
 
 
 def test_bf16_moment_storage_close_to_f32():
