@@ -59,15 +59,28 @@ def initialize(
         num_processes = int(os.environ["NUM_PROCESSES"])
     if process_id is None and os.environ.get("PROCESS_ID"):
         process_id = int(os.environ["PROCESS_ID"])
-    # Vertex AI CLUSTER_SPEC / TPU pod metadata also work via autodetection.
-    autodetect = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("CLUSTER_SPEC")
+    # Vertex AI CLUSTER_SPEC / TPU pod metadata also work via autodetection —
+    # but only a MULTI-worker pod counts (single-chip runtimes, e.g. relayed
+    # dev chips, export TPU_WORKER_HOSTNAMES=localhost and must stay
+    # single-process).
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    autodetect = ("," in hostnames) or os.environ.get("CLUSTER_SPEC")
     if coordinator_address is None and not autodetect:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:  # incomplete pod metadata etc.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "multi-process launch detected but jax.distributed.initialize "
+            "failed (%s); continuing single-process", e
+        )
+        return False
     _initialized = True
     return True
 
