@@ -33,7 +33,6 @@ class GraphTransformerConfig:
     laplacian_k: int = 16
     use_ffn: bool = True
     ffn_expansion: int = 4
-    fused_attention: bool = False  # Pallas attention core (eval / no-dropout train)
 
 
 def init(rng: jax.Array, cfg: GraphTransformerConfig) -> tuple[dict, dict]:
@@ -116,7 +115,6 @@ def apply(
             dropout_rate=cfg.dropout,
             train=train,
             rng=k_attn,
-            fused_attention=cfg.fused_attention,
         )
         x, bn_s = masked_batch_norm(
             params["batch_norms"][layer], state["batch_norms"][layer], x, batch.node_mask, train
@@ -173,7 +171,6 @@ def create_graph_transformer_optimized(
     laplacian_k: int = 16,
     use_ffn: bool = False,  # optimized: FFN off (the 29x win in the reference)
     ffn_expansion: int = 2,
-    fused_attention: bool = False,
 ) -> "Model":
     """Optimized factory defaults (reference graph_transformer.py:231-242)."""
     from gat_recommendation_tpu.models.registry import Model
@@ -190,6 +187,5 @@ def create_graph_transformer_optimized(
         laplacian_k=laplacian_k,
         use_ffn=use_ffn,
         ffn_expansion=ffn_expansion,
-        fused_attention=fused_attention,
     )
     return Model(name="graph_transformer_optimized", config=cfg, init=init, apply=apply)

@@ -60,7 +60,6 @@ def transformer_conv(
     dropout_rate: float = 0.0,
     train: bool = False,
     rng: jax.Array | None = None,
-    fused_attention: bool = False,
 ) -> jax.Array:
     """out_i = beta*W_skip x_i + (1-beta) * sum_j softmax_j(q_i.k_j/sqrt(d)) v_j.
 
@@ -68,34 +67,26 @@ def transformer_conv(
     [B, N, heads*head_dim]. Destinations with no in-edges get attention
     output 0 (scatter-of-nothing parity) before the beta-gated skip.
 
-    fused_attention=True routes the attention core through the Pallas kernel
-    (ops/pallas/session_attention.py); it implements no attention dropout,
-    so the XLA path is used whenever train-time dropout is active.
+    The attention core stays in XLA deliberately: a Pallas fused kernel
+    (ops/pallas/session_attention.py) measured SLOWER at every node bucket
+    (0.31x at N=8 ... 0.79x at N=56) — sessions are far smaller than an MXU
+    tile, so there is no flash-attention-style fusion win here (negative
+    result, docs/PERFORMANCE.md).
     """
     B, N, _ = x.shape
     hd = params["query"]["w"].shape[1]
     d = hd // heads
 
-    if fused_attention and not (train and dropout_rate > 0.0):
-        from gat_recommendation_tpu.ops.pallas.session_attention import (
-            fused_session_attention,
-        )
+    q = linear(params["query"], x).reshape(B, N, heads, d)
+    k = linear(params["key"], x).reshape(B, N, heads, d)
+    v = linear(params["value"], x).reshape(B, N, heads, d)
 
-        q2 = linear(params["query"], x)
-        k2 = linear(params["key"], x)
-        v2 = linear(params["value"], x)
-        out = fused_session_attention(q2, k2, v2, adj, heads=heads)
-    else:
-        q = linear(params["query"], x).reshape(B, N, heads, d)
-        k = linear(params["key"], x).reshape(B, N, heads, d)
-        v = linear(params["value"], x).reshape(B, N, heads, d)
-
-        scores = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(d)
-        alpha = masked_softmax(scores, adj[:, None, :, :], axis=-1)  # [B, H, N, N]
-        alpha = _attn_dropout(rng, alpha, dropout_rate, train)
-        out = jnp.einsum("bhij,bjhd->bihd", alpha, v, preferred_element_type=jnp.float32)
-        out = out.reshape(B, N, hd)
+    scores = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(d)
+    alpha = masked_softmax(scores, adj[:, None, :, :], axis=-1)  # [B, H, N, N]
+    alpha = _attn_dropout(rng, alpha, dropout_rate, train)
+    out = jnp.einsum("bhij,bjhd->bihd", alpha, v, preferred_element_type=jnp.float32)
+    out = out.reshape(B, N, hd)
 
     x_r = linear(params["skip"], x)
     gate_in = jnp.concatenate([out, x_r, out - x_r], axis=-1)

@@ -1,14 +1,22 @@
 """Fused masked session-graph attention (Pallas TPU kernel).
 
-The TransformerConv attention core — scores = q·kᵀ/√d, adjacency-masked
-softmax over sources, weighted sum of values — fused into one VMEM-resident
-kernel per batch tile: the [N, N] score/weight matrices never round-trip to
-HBM (XLA's unfused path materializes [B, H, N, N] twice). Sessions are small
-(N ≤ 56), so one grid step processes a tile of sessions and loops over them
-with both matmuls on the MXU.
+**NEGATIVE RESULT — kept unwired** (like ops/pallas/score_chunkmax.py; see
+docs/PERFORMANCE.md "Negative result: fused session attention"). Measured on
+TPU v5e at the eval configuration (optimized GT forward, B=512) the fused
+path LOSES at every node bucket: 0.31x at N=8, 0.40x at N=16, 0.65x at
+N=32, 0.79x at N=56 (scripts/bench_attention.py). Sessions are far smaller
+than an MXU tile (N ≤ 56 vs 128x128), so the per-session score/weight
+matrices XLA materializes are tiny ([B,H,N,N] ≤ 26 MB), while this kernel's
+serialized per-session loop under-fills the MXU. There is no
+flash-attention-style fusion win at session-graph sizes; the XLA batched
+einsum path in models/layers.py:transformer_conv is the production path.
 
-The projections (q/k/v linear layers) and the β-gated skip stay outside in
-XLA — they are plain matmuls XLA already runs at peak.
+Original design: the TransformerConv attention core — scores = q·kᵀ/√d,
+adjacency-masked softmax over sources, weighted sum of values — fused into
+one VMEM-resident kernel per batch tile, q/k/v projections and the β-gated
+skip left to XLA. Interpret-mode correctness tests remain
+(tests/test_session_attention_kernel.py) so the kernel stays a valid
+starting point if batch-blocked session attention is ever revisited.
 """
 
 from __future__ import annotations
