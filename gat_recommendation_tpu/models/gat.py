@@ -83,12 +83,13 @@ def apply(
     )
     new_state: dict = {"batch_norms": []}
 
+    adj = batch.dense_adj()  # unpack bit-packed transfer form once
     for i, (_, concat) in enumerate(plan):
         rng, k_attn, k_drop = jax.random.split(rng, 3)
         x = gat_conv(
             params["convs"][i],
             x,
-            batch.adj,
+            adj,
             batch.node_mask,
             heads=cfg.num_heads,
             concat=concat,

@@ -104,13 +104,14 @@ def apply(
     if cfg.use_laplacian_pe:
         new_state["cached_pe"] = state["cached_pe"]
 
+    adj = batch.dense_adj()  # unpack bit-packed transfer form once
     for layer in range(cfg.num_layers):
         rng, k_attn, k_drop, k_f1, k_f2 = jax.random.split(rng, 5)
         residual = x
         x = transformer_conv(
             params["convs"][layer],
             x,
-            batch.adj,
+            adj,
             heads=cfg.num_heads,
             dropout_rate=cfg.dropout,
             train=train,

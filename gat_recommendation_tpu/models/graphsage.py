@@ -67,9 +67,10 @@ def apply(
     )
     new_state: dict = {"batch_norms": []}
 
+    adj = batch.dense_adj()  # unpack bit-packed transfer form once
     for i in range(cfg.num_layers):
         rng, k_drop = jax.random.split(rng)
-        x = sage_conv(params["convs"][i], x, batch.adj, aggregator=cfg.aggregator)
+        x = sage_conv(params["convs"][i], x, adj, aggregator=cfg.aggregator)
         x, bn_s = masked_batch_norm(
             params["batch_norms"][i], state["batch_norms"][i], x, batch.node_mask, train
         )

@@ -171,6 +171,7 @@ class Trainer:
         max_epochs: int = 100,
         patience: int = 10,
         eval_every: int = 1,
+        checkpoint_every: int = 1,
         k_values: list[int] | None = None,
         loss_fn=None,
         seed: int = 42,
@@ -195,6 +196,11 @@ class Trainer:
         self.max_epochs = max_epochs
         self.patience = patience
         self.eval_every = eval_every
+        # checkpoint_best still writes on EVERY improvement; checkpoint_every
+        # throttles only the checkpoint_latest resume snapshot. At reference
+        # scale the latest save is 1.2 GB/epoch — ~60 s through a remote-TPU
+        # relay vs a ~5 s epoch (docs/PERFORMANCE.md). 1 = reference parity.
+        self.checkpoint_every = checkpoint_every
         self.k_values = k_values if k_values is not None else [10, 20]
         self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
         self.seed = seed
@@ -351,7 +357,9 @@ class Trainer:
 
     # -- checkpointing -----------------------------------------------------
 
-    def save_checkpoint(self, params, state, opt_state, is_best: bool = False) -> None:
+    def save_checkpoint(
+        self, params, state, opt_state, is_best: bool = False, save_latest: bool = True
+    ) -> None:
         from gat_recommendation_tpu.train import checkpoint as ckpt
 
         meta = {
@@ -361,7 +369,8 @@ class Trainer:
             "model_name": self.model.name,
             "model_config": asdict(self.model.config),
         }
-        ckpt.save(self.output_dir / "checkpoint_latest", params, state, opt_state, meta)
+        if save_latest:
+            ckpt.save(self.output_dir / "checkpoint_latest", params, state, opt_state, meta)
         if is_best:
             ckpt.save(self.output_dir / "checkpoint_best", params, state, opt_state, meta)
 
@@ -415,9 +424,17 @@ class Trainer:
                 else:
                     self.patience_counter += 1
 
-                self.save_checkpoint(params, state, opt_state, is_best=is_best)
+                stopping = self.patience_counter >= self.patience
+                save_latest = (
+                    stopping
+                    or epoch == self.max_epochs - 1
+                    or (epoch + 1) % self.checkpoint_every == 0
+                )
+                self.save_checkpoint(
+                    params, state, opt_state, is_best=is_best, save_latest=save_latest
+                )
 
-                if self.patience_counter >= self.patience:
+                if stopping:
                     logger.info(f"Early stopping at epoch {epoch}")
                     break
 

@@ -63,13 +63,18 @@ def validate_artifact(ckpt_dir: Path, th: dict) -> tuple[bool, dict]:
         result["error"] = f"checkpoint failed to load: {e}"
         return False, result
 
-    nan_arrays = [
-        i for i, leaf in enumerate(jax.tree.leaves((params, state)))
-        if not bool(np.isfinite(np.asarray(leaf)).all())
-    ]
-    result["nan_arrays"] = len(nan_arrays)
-    if nan_arrays:
-        result["error"] = f"{len(nan_arrays)} arrays contain NaN/Inf"
+    # NaN scan on device: per-leaf finite flags reduced in ONE jitted call,
+    # a single small readback — np.asarray per leaf would haul the whole
+    # 478 MB table back through the remote-TPU relay.
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves((params, state))
+    flags = np.asarray(
+        jax.jit(lambda ls: jnp.array([jnp.isfinite(leaf).all() for leaf in ls]))(leaves)
+    )
+    result["nan_arrays"] = int((~flags).sum())
+    if result["nan_arrays"]:
+        result["error"] = f"{result['nan_arrays']} arrays contain NaN/Inf"
         return False, result
     result["model_name"] = meta["model_name"]
     return True, result

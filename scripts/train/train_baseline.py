@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--max-epochs", type=int, default=100)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="save checkpoint_latest every N eval'd epochs (best is "
+                        "always saved on improvement; final epoch always saved). "
+                        "At reference scale the latest save is 1.2 GB — worth "
+                        "raising on remote-relay TPU setups")
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true", help="resume from checkpoint_latest")
@@ -191,6 +196,7 @@ def main() -> None:
         max_epochs=args.max_epochs,
         patience=args.patience,
         eval_every=args.eval_every,
+        checkpoint_every=args.checkpoint_every,
         loss_fn=create_loss_function(args.loss_type, args.alpha, args.temperature),
         seed=args.seed,
         mesh=mesh,

@@ -142,6 +142,43 @@ def test_collate_padded_sample():
     assert batch.adj.sum() == 0
 
 
+def test_pack_adj_roundtrip(dummy_batch):
+    """Bit-packed transfer form reconstructs the exact bool adjacency for
+    every bucket width, including non-multiple-of-8 (N=56 is 7 full bytes,
+    but guard the general slice path too)."""
+    import dataclasses
+
+    import jax
+
+    from gat_recommendation_tpu.data.batching import pack_adj, to_device
+
+    rng = np.random.default_rng(0)
+    for n in (8, 16, 56, 12):  # 12: forces the unpack slice to matter
+        adj = rng.random((3, n, n)) < 0.3
+        b = dataclasses.replace(
+            dummy_batch,
+            node_ids=np.zeros((3, n), np.int32),
+            node_mask=np.ones((3, n), bool),
+            adj=adj,
+            num_nodes=np.full((3,), n, np.int32),
+            targets=dummy_batch.targets[:1].repeat(3),
+            negatives=dummy_batch.negatives[:1].repeat(3, axis=0),
+            sample_mask=np.ones((3,), bool),
+        )
+        packed = pack_adj(b)
+        assert packed.adj.dtype == np.uint8
+        assert packed.adj.shape == (3, n, (n + 7) // 8)
+        np.testing.assert_array_equal(np.asarray(packed.dense_adj()), adj)
+        # pack is idempotent; dense_adj is a no-op on bool batches
+        assert pack_adj(packed) is packed
+        assert b.dense_adj() is adj
+        # to_device packs, and dense_adj works under jit
+        d = to_device(b)
+        assert d.adj.dtype == np.uint8
+        out = jax.jit(lambda bb: bb.dense_adj())(d)
+        np.testing.assert_array_equal(np.asarray(out), adj)
+
+
 def test_iterate_batches_covers_epoch():
     ds = _make_dataset()
     seen = 0
