@@ -248,6 +248,12 @@ def main_device() -> dict:
 
 
 def main():
+    # Persistent XLA cache: the bucket-ladder jit variants cost ~15 min of
+    # compiles cold through the remote relay; warm starts reload from disk.
+    from gat_recommendation_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--device", action="store_true", help="device-only step rate")
     p.add_argument("--sessions", type=int, default=120_436)

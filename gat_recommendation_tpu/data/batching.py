@@ -106,10 +106,19 @@ def pack_adj(batch: SessionBatch) -> SessionBatch:
     return dataclasses.replace(batch, adj=np.packbits(batch.adj, axis=-1))
 
 
+def _worth_packing(device) -> bool:
+    """Bit-packing only pays where a host->device wire exists: on the CPU
+    backend the 'transfer' is a copy in RAM and every jitted step would pay
+    the unpack (shift/and/reshape) for nothing."""
+    platform = device.platform if device is not None else jax.default_backend()
+    return platform != "cpu"
+
+
 def to_device(batch: SessionBatch, device=None) -> SessionBatch:
     """Move a host batch onto the (default) device as jax arrays (adjacency
-    bit-packed for the wire; unpacked lazily on device via dense_adj)."""
-    if isinstance(batch, SessionBatch):
+    bit-packed for the wire on accelerator backends; unpacked lazily on
+    device via dense_adj)."""
+    if isinstance(batch, SessionBatch) and _worth_packing(device):
         batch = pack_adj(batch)
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), device), batch)
 

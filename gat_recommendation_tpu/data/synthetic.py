@@ -1,10 +1,28 @@
-"""Synthetic RetailRocket-like event generator.
+"""Synthetic RetailRocket-like event generators.
 
-Behavior parity with reference scripts/data/00_generate_synthetic_data.py:
-Zipf(1.5) item popularity over a permuted catalog, exponential inter-event
-gaps (mean 5 min, capped below the 30-min session gap), state-dependent
-view/addtocart/transaction events. Deterministic under a seed; timestamps
-globally monotonic (sessions are laid out sequentially in time).
+Two generators share the event schema and timestamp machinery:
+
+* ``generate_synthetic_events`` — behavior parity with reference
+  scripts/data/00_generate_synthetic_data.py: Zipf(1.5) item popularity over
+  a permuted catalog, exponential inter-event gaps (mean 5 min, capped below
+  the 30-min session gap), state-dependent view/addtocart/transaction
+  events. Every event is an INDEPENDENT popularity draw — there is no
+  sequential structure, so all models converge to the popularity solution
+  and the corpus cannot discriminate between them.
+
+* ``generate_structured_events`` — a *discriminative* corpus: items live on
+  a hidden clustered Markov transition graph and sessions are random walks
+  on it with popularity-noise distractor insertions. Next-item prediction
+  then genuinely rewards multi-hop reasoning over the co-occurrence graph
+  (the walk structure is what co-occurrence edges encode), community
+  structure gives Laplacian positional encodings real signal, and the
+  global popularity baseline is deliberately weak (near-flat Zipf over a
+  wide active catalog). Built to reproduce the reference's model ordering
+  (GT-opt > GAT > GraphSAGE, /root/reference/docs/EXPERIMENTS.md:38-41)
+  which the parity generator cannot.
+
+Both are deterministic under a seed; timestamps are globally monotonic
+(sessions are laid out sequentially in time).
 """
 
 from __future__ import annotations

@@ -131,9 +131,9 @@ def make_global_batch(local_batch, mesh, pcount: int | None = None):
         from gat_recommendation_tpu.parallel.steps import shard_batch
 
         return shard_batch(local_batch, mesh)
-    from gat_recommendation_tpu.data.batching import SessionBatch, pack_adj
+    from gat_recommendation_tpu.data.batching import SessionBatch, _worth_packing, pack_adj
 
-    if isinstance(local_batch, SessionBatch):
+    if isinstance(local_batch, SessionBatch) and _worth_packing(mesh.devices.flat[0]):
         local_batch = pack_adj(local_batch)
     sharding = batch_sharding(mesh)
 

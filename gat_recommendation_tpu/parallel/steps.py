@@ -172,9 +172,9 @@ def make_sharded_eval_step(model, k: int, mesh) -> Callable:
 def shard_batch(batch, mesh):
     """Device-put a host SessionBatch onto the mesh, sharded over 'data'
     (adjacency bit-packed for the wire, like the single-device path)."""
-    from gat_recommendation_tpu.data.batching import SessionBatch, pack_adj
+    from gat_recommendation_tpu.data.batching import SessionBatch, _worth_packing, pack_adj
 
-    if isinstance(batch, SessionBatch):
+    if isinstance(batch, SessionBatch) and _worth_packing(mesh.devices.flat[0]):
         batch = pack_adj(batch)
     bs = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), batch)

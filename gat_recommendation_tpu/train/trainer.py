@@ -210,6 +210,12 @@ class Trainer:
         self.best_val_metric = 0.0
         self.patience_counter = 0
         self.history: dict = {"train_loss": [], "val_metrics": []}
+        # Cadence bookkeeping: checkpoint_every counts EVAL OCCURRENCES (save
+        # on every Nth eval), so eval_every and checkpoint_every compose
+        # predictably; _latest_saved_epoch lets train() backstop-save the
+        # final epoch even when the cadence (or eval_every) never lands on it.
+        self._n_evals = 0
+        self._latest_saved_epoch: int | None = None
 
         if mesh is not None:
             from gat_recommendation_tpu.parallel.steps import (
@@ -398,8 +404,10 @@ class Trainer:
         start_epoch = self.current_epoch
         logger.info(f"Training {self.model.name} for up to {self.max_epochs} epochs")
 
+        trained_this_call = False
         for epoch in range(start_epoch, self.max_epochs):
             self.current_epoch = epoch
+            trained_this_call = True
             t0 = time.perf_counter()
             params, state, opt_state, train_loss = self.train_epoch(params, state, opt_state)
             self.history["train_loss"].append(train_loss)
@@ -425,11 +433,14 @@ class Trainer:
                     self.patience_counter += 1
 
                 stopping = self.patience_counter >= self.patience
+                self._n_evals += 1
                 save_latest = (
                     stopping
                     or epoch == self.max_epochs - 1
-                    or (epoch + 1) % self.checkpoint_every == 0
+                    or self._n_evals % self.checkpoint_every == 0
                 )
+                if save_latest:
+                    self._latest_saved_epoch = epoch
                 self.save_checkpoint(
                     params, state, opt_state, is_best=is_best, save_latest=save_latest
                 )
@@ -437,6 +448,13 @@ class Trainer:
                 if stopping:
                     logger.info(f"Early stopping at epoch {epoch}")
                     break
+
+        # Backstop: guarantee checkpoint_latest reflects the last trained
+        # epoch no matter how eval_every / checkpoint_every / max_epochs
+        # interact (e.g. eval_every=2, max_epochs=9 never evals epoch 8).
+        if trained_this_call and self._latest_saved_epoch != self.current_epoch:
+            self.save_checkpoint(params, state, opt_state, is_best=False, save_latest=True)
+            self._latest_saved_epoch = self.current_epoch
 
         if jax.process_index() == 0:  # shared storage in multi-host runs
             with open(self.output_dir / "history.json", "w") as f:

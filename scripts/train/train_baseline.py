@@ -50,10 +50,12 @@ def parse_args():
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--checkpoint-every", type=int, default=1,
-                   help="save checkpoint_latest every N eval'd epochs (best is "
-                        "always saved on improvement; final epoch always saved). "
-                        "At reference scale the latest save is 1.2 GB — worth "
-                        "raising on remote-relay TPU setups")
+                   help="save checkpoint_latest on every Nth evaluation (counted "
+                        "in eval occurrences, so it composes with --eval-every; "
+                        "best is always saved on improvement and the final "
+                        "trained epoch is always backstop-saved). At reference "
+                        "scale the latest save is 1.2 GB — worth raising on "
+                        "remote-relay TPU setups")
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", action="store_true", help="resume from checkpoint_latest")
@@ -97,6 +99,34 @@ def maybe_gcs_download(bucket: str | None, paths: list[str], logger) -> None:
         logger.info(f"gs://{bucket}/{path} -> {local}")
 
 
+def maybe_gcs_upload(bucket: str | None, output_dir: Path, logger, client=None) -> int:
+    """Push training outputs back to the bucket (reference parity:
+    scripts/train/train_baseline.py:107-119,286 — without this a Vertex TPU
+    job's trained model dies with the container). Walks output_dir
+    (checkpoint_best/, checkpoint_latest/, history.json) and uploads every
+    file under the same relative prefix. Returns the file count.
+    `client` is injectable for tests."""
+    if not bucket:
+        return 0
+    if client is None:
+        try:
+            from google.cloud import storage  # type: ignore
+        except ImportError:
+            logger.warning("google-cloud-storage not installed; skipping GCS upload")
+            return 0
+        client = storage.Client()
+    b = client.bucket(bucket)
+    n = 0
+    for f in sorted(output_dir.rglob("*")):
+        if not f.is_file():
+            continue
+        remote = f.relative_to(output_dir.parent).as_posix()
+        b.blob(remote).upload_from_filename(str(f))
+        logger.info(f"{f} -> gs://{bucket}/{remote}")
+        n += 1
+    return n
+
+
 def main() -> None:
     args = parse_args()
     logger = get_logger(__name__)
@@ -107,6 +137,13 @@ def main() -> None:
 
     dist_active = dist.initialize() if args.distributed == "auto" else False
     import jax
+
+    # Persistent XLA cache: cold starts pay ~15 min of bucket-variant
+    # compiles through remote relays; warm starts reload from disk
+    # (docs/PERFORMANCE.md "Compile warmup").
+    from gat_recommendation_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     pindex, pcount = jax.process_index(), jax.process_count()
     if dist_active:
@@ -213,6 +250,9 @@ def main() -> None:
 
     trainer.train(params, state, opt_state, resume=args.resume)
     logger.info(f"Done. Best recall@10: {trainer.best_val_metric:.4f}")
+
+    if pindex == 0:  # upload once; checkpoint dir is shared storage multi-host
+        maybe_gcs_upload(args.gcs_bucket, Path(args.output_dir) / args.model, logger)
 
 
 if __name__ == "__main__":

@@ -149,6 +149,7 @@ def test_pack_adj_roundtrip(dummy_batch):
     import dataclasses
 
     import jax
+    import jax.numpy as jnp
 
     from gat_recommendation_tpu.data.batching import pack_adj, to_device
 
@@ -172,11 +173,18 @@ def test_pack_adj_roundtrip(dummy_batch):
         # pack is idempotent; dense_adj is a no-op on bool batches
         assert pack_adj(packed) is packed
         assert b.dense_adj() is adj
-        # to_device packs, and dense_adj works under jit
+        # to_device packs only where a host->device wire exists (on the CPU
+        # backend the unpack would cost with no transfer saving); dense_adj
+        # works under jit either way.
         d = to_device(b)
-        assert d.adj.dtype == np.uint8
+        expect_packed = jax.default_backend() != "cpu"
+        assert (d.adj.dtype == np.uint8) == expect_packed
         out = jax.jit(lambda bb: bb.dense_adj())(d)
         np.testing.assert_array_equal(np.asarray(out), adj)
+        # The packed transfer form itself always round-trips under jit.
+        dp = jax.tree.map(jnp.asarray, packed)
+        out_p = jax.jit(lambda bb: bb.dense_adj())(dp)
+        np.testing.assert_array_equal(np.asarray(out_p), adj)
 
 
 def test_iterate_batches_covers_epoch():
