@@ -503,13 +503,12 @@ def _slot_rng(seed: int, batch_index: int, gslot: int) -> np.random.Generator:
     return np.random.default_rng([seed, batch_index, gslot])
 
 
-def _native_batch_seed(seed: int, batch_index: int, pindex: int = 0) -> int:
-    """Per-(batch, process) seed for the C engine; pindex=0 matches the
-    original single-process scheme bit-for-bit."""
-    base = (np.uint64(seed) << np.uint64(20)) + np.uint64(batch_index)
-    if pindex:
-        base ^= np.uint64(0x9E3779B97F4A7C15) * np.uint64(pindex)
-    return int(base)
+def _native_batch_seed(seed: int, batch_index: int) -> int:
+    """Per-batch seed for the C engine. The same seed is used by EVERY
+    process of a multi-host run; per-slot streams are derived inside the
+    engine from (seed, GLOBAL slot) via the slot_offset argument, so
+    concat(local batches) is bit-identical to a single-process assembly."""
+    return int((np.uint64(seed) << np.uint64(20)) + np.uint64(batch_index))
 
 
 def _splitmix64(state: np.uint64) -> tuple[np.uint64, np.uint64]:
@@ -522,15 +521,17 @@ def _splitmix64(state: np.uint64) -> tuple[np.uint64, np.uint64]:
         return state, z ^ (z >> np.uint64(31))
 
 
-def _native_negatives(batch_seed: int, local_slot: int, session_items, num_items: int, k: int) -> np.ndarray:
-    """Reproduce the C engine's negatives for one slot (batcher.cpp:119-151)."""
+def _native_negatives(batch_seed: int, gslot: int, session_items, num_items: int, k: int) -> np.ndarray:
+    """Reproduce the C engine's negatives for one GLOBAL slot (the engine
+    derives its per-slot stream from seed ^ golden*(slot_offset+local+1) =
+    seed ^ golden*(gslot+1) — batcher.cpp assemble_batch)."""
     out = np.zeros(k, dtype=np.int32)
     if num_items <= 1:
         return out
     uniq = set(int(x) for x in session_items)
     with np.errstate(over="ignore"):
         state = np.uint64(batch_seed) ^ (
-            np.uint64(0x9E3779B97F4A7C15) * np.uint64(local_slot + 1)
+            np.uint64(0x9E3779B97F4A7C15) * np.uint64(gslot + 1)
         )
     got, attempts, max_attempts = 0, 0, 128 * k
     while got < k and attempts < max_attempts:
@@ -593,8 +594,8 @@ def _global_batch_meta(
             nodes = np.unique(items[:-1])[:bucket_n]
             node_ids[g, : len(nodes)] = nodes
             if engine == "native":
-                bs = _native_batch_seed(seed, batch_index, g // local)
-                negatives[g] = _native_negatives(bs, g % local, items, dataset.num_items, K)
+                bs = _native_batch_seed(seed, batch_index)
+                negatives[g] = _native_negatives(bs, g, items, dataset.num_items, K)
             else:
                 negatives[g] = sample_negatives(
                     _slot_rng(seed, batch_index, g),
@@ -636,10 +637,12 @@ def iterate_batches(
     each global batch (local = batch_size / process_count). With
     `with_global_meta` (implied by process_count > 1) each yield becomes
     (local_batch, GlobalBatchMeta); `with_global_ids` additionally fills
-    meta.ids for the replicated multi-host GradIndex. numpy-engine negatives
-    are keyed by GLOBAL slot, so the concatenation of all processes' local
-    batches is bit-identical to the process_count=1 batch (asserted by
-    __graft_entry__.dryrun_multichip and tests/test_multihost.py).
+    meta.ids for the replicated multi-host GradIndex. BOTH engines key
+    negatives by GLOBAL slot (numpy: a PCG substream per slot; native: the C
+    engine's slot_offset argument), so the concatenation of all processes'
+    local batches is bit-identical to the process_count=1 batch (asserted by
+    __graft_entry__.dryrun_multichip, tests/test_multihost.py, and
+    tests/test_native_batcher.py's multi-process cases).
 
     workers > 0 assembles batches on a thread pool (bounded in-flight
     window, order preserved). The C++ engine releases the GIL during
@@ -687,7 +690,8 @@ def iterate_batches(
         if engine == "native":
             batch = native.assemble_batch(
                 dataset, local_chunk, local, bucket_n,
-                _native_batch_seed(seed, bi, process_index),
+                _native_batch_seed(seed, bi),
+                slot_offset=process_index * local,
             )
         else:
             samples = [

@@ -55,15 +55,18 @@ def _do_load():
     # assigned (or the load definitively failed), so the unlocked fast path
     # in _load() can never observe attempted=True with the lib mid-load.
     global _lib, _load_attempted
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR), "libbatcher.so"],
-                capture_output=True,
-                timeout=120,
-                check=True,
-            )
-        except Exception:
+    # Always (re)run make: the target depends on batcher.cpp, so this is a
+    # ~10 ms no-op when the library is current but prevents a stale .so from
+    # silently mismatching the Python-side ABI after a source change.
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR), "libbatcher.so"],
+            capture_output=True,
+            timeout=120,
+            check=True,
+        )
+    except Exception:
+        if not _LIB_PATH.exists():
             _load_attempted = True
             return None
     try:
@@ -93,6 +96,7 @@ def _do_load():
         ctypes.c_int64,  # bucket_n
         ctypes.c_int64,  # num_negatives
         ctypes.c_uint64,  # seed
+        ctypes.c_int64,  # slot_offset (global slot of local row 0)
         ctypes.POINTER(ctypes.c_int32),  # node_ids
         ctypes.POINTER(ctypes.c_uint8),  # node_mask
         ctypes.POINTER(ctypes.c_uint8),  # adj
@@ -124,9 +128,15 @@ def build_csr(item_i, item_j, num_items: int) -> tuple[np.ndarray, np.ndarray]:
     return indptr, indices
 
 
-def assemble_batch(dataset, chunk: list, batch_size: int, bucket_n: int, seed: int):
+def assemble_batch(
+    dataset, chunk: list, batch_size: int, bucket_n: int, seed: int, slot_offset: int = 0
+):
     """Assemble one fixed-shape SessionBatch for session indices `chunk`
-    (padded with empty slots to batch_size) via the C++ engine."""
+    (padded with empty slots to batch_size) via the C++ engine.
+
+    slot_offset is the GLOBAL slot index of local row 0 (multi-host feeding:
+    process p passes p * local_batch), keying the per-slot negative RNG so
+    concatenated local batches equal the single-process assembly."""
     from gat_recommendation_tpu.data.batching import SessionBatch
 
     lib = _load()
@@ -157,6 +167,7 @@ def assemble_batch(dataset, chunk: list, batch_size: int, bucket_n: int, seed: i
         bucket_n,
         K,
         ctypes.c_uint64(seed),
+        ctypes.c_int64(slot_offset),
         _i32p(node_ids),
         _u8p(node_mask),
         _u8p(adj),

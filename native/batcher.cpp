@@ -64,11 +64,20 @@ void build_csr(const int64_t* item_i, const int64_t* item_j, int64_t n_edges,
 //   targets    [B] int32
 //   negatives  [B, num_negatives] int32
 //   sample_mask[B] uint8
+//
+// slot_offset keys the per-slot negative RNG by GLOBAL batch slot
+// (slot_offset + b): in multi-host feeding each process assembles rows
+// [p*local, (p+1)*local) of every global batch, and offsetting here makes
+// the concatenation of all processes' local batches bit-identical to a
+// single-process assembly of the full batch — the invariant
+// tests/test_multihost.py and dryrun_multichip assert. Single-process
+// callers pass 0 and get the original stream.
 void assemble_batch(
     const int64_t* items_all, const int64_t* offsets_all,
     const int64_t* sess_idx, int64_t n_sel, int64_t batch_size,
     const int64_t* indptr, const int32_t* indices, int64_t num_items,
     int64_t bucket_n, int64_t num_negatives, uint64_t seed,
+    int64_t slot_offset,
     int32_t* node_ids, uint8_t* node_mask, uint8_t* adj, int32_t* num_nodes,
     int32_t* targets, int32_t* negatives, uint8_t* sample_mask) {
   const int64_t NN = bucket_n * bucket_n;
@@ -146,7 +155,7 @@ void assemble_batch(
     std::sort(uniq, uniq + m);
     m = std::unique(uniq, uniq + m) - uniq;
 
-    uint64_t rng = seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(b + 1));
+    uint64_t rng = seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(slot_offset + b + 1));
     int64_t got = 0;
     if (num_items > 1) {
       int64_t attempts = 0;

@@ -21,6 +21,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> None:
     coordinator, pid, outdir = sys.argv[1], int(sys.argv[2]), Path(sys.argv[3])
+    engine = sys.argv[4] if len(sys.argv) > 4 else "numpy"
 
     from gat_recommendation_tpu.parallel import distributed as dist
 
@@ -40,7 +41,7 @@ def main() -> None:
     ds_train, ds_val, edges, num_items = make_case()
     mesh = make_mesh(n_model=2)
 
-    feed = dict(process_index=pid, process_count=2, with_global_ids=True, engine="numpy")
+    feed = dict(process_index=pid, process_count=2, with_global_ids=True, engine=engine)
     trainer = Trainer(
         create_model("graph_transformer_optimized", num_items,
                      embedding_dim=32, hidden_dim=32, laplacian_k=4),
