@@ -8,12 +8,16 @@ for TPU consumption: flat arrays, CSR adjacency, padded node-count buckets.
 from gat_recommendation_tpu.data.graph import build_co_event_graph
 from gat_recommendation_tpu.data.sessionize import compute_session_stats, sessionize_events
 from gat_recommendation_tpu.data.splits import create_temporal_splits
-from gat_recommendation_tpu.data.synthetic import generate_synthetic_events
+from gat_recommendation_tpu.data.synthetic import (
+    generate_structured_events,
+    generate_synthetic_events,
+)
 
 __all__ = [
     "build_co_event_graph",
     "compute_session_stats",
     "create_temporal_splits",
+    "generate_structured_events",
     "generate_synthetic_events",
     "sessionize_events",
 ]

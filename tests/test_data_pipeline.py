@@ -39,6 +39,64 @@ def test_synthetic_deterministic():
     pd.testing.assert_frame_equal(a, b)
 
 
+class TestStructuredCorpus:
+    """The discriminative generator: latent clustered-Markov walk sessions
+    (data/synthetic.py generate_structured_events)."""
+
+    @pytest.fixture(scope="class")
+    def structured(self):
+        from gat_recommendation_tpu.data import generate_structured_events
+
+        return generate_structured_events(
+            num_sessions=600, num_items=5_000, num_active=900, num_clusters=9, seed=5
+        )
+
+    def test_schema_and_monotonicity(self, structured):
+        assert list(structured.columns) == [
+            "timestamp", "visitorid", "event", "itemid", "transactionid",
+        ]
+        assert structured["timestamp"].is_monotonic_increasing
+        assert set(structured["event"]).issubset({"view", "addtocart", "transaction"})
+
+    def test_deterministic(self):
+        from gat_recommendation_tpu.data import generate_structured_events
+
+        kw = dict(num_sessions=40, num_items=800, num_active=200, num_clusters=4, seed=3)
+        pd.testing.assert_frame_equal(
+            generate_structured_events(**kw), generate_structured_events(**kw)
+        )
+
+    def test_active_catalog_bounded(self, structured):
+        ids = structured["itemid"].unique()
+        assert len(ids) <= 900
+        assert (ids >= 1).all() and (ids < 5_000).all()  # id 0 = padding row
+
+    def test_sessions_survive_sessionize_intact(self, structured):
+        sess = sessionize_events(structured)
+        lengths = sess.groupby("session_id").size()
+        assert sess["session_id"].nunique() == 600  # no session split or dropped
+        assert lengths.min() >= 3 and lengths.max() <= 50
+
+    def test_targets_are_walk_predictable(self, structured):
+        """The signal the corpus exists to carry: the final (target) item is
+        drawn from the latent transition structure, so the fraction of
+        targets that also occur in their session's context (walk revisits)
+        must far exceed what independent popularity draws would give, while
+        a near-flat popularity baseline stays weak."""
+        sess = sessionize_events(structured)
+        per = sess.sort_values(["session_id", "timestamp"]).groupby("session_id")["itemid"].agg(list)
+        in_ctx = np.mean([t[-1] in t[:-1] for t in per])
+        assert 0.1 < in_ctx < 0.7  # repeat_prob=0.25 + graph cycles
+        # Popularity baseline: top-10 items rarely contain the target, and
+        # carry far less signal than the walk structure. (Bound is loose at
+        # this 900-item test scale — at the reference-scale 82k-item corpus
+        # the same baseline measures < 1%, docs/EXPERIMENTS.md.)
+        pop = sess.groupby("itemid").size().sort_values(ascending=False)
+        top10 = set(pop.index[:10])
+        r10 = np.mean([t[-1] in top10 for t in per])
+        assert r10 < 0.12 and r10 < in_ctx / 2
+
+
 def test_sessionize_min_length(sessions):
     lengths = sessions.groupby("session_id").size()
     assert (lengths >= 3).all()
