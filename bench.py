@@ -75,7 +75,10 @@ def make_training(num_items: int = NUM_ITEMS):
     from gat_recommendation_tpu.models import create_model
     from gat_recommendation_tpu.train.losses import dual_loss
     from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
-    from gat_recommendation_tpu.train.trainer import make_sparse_train_step
+    from gat_recommendation_tpu.train.trainer import (
+        make_chained_sparse_train_step,
+        make_sparse_train_step,
+    )
 
     model = create_model(
         "graph_transformer_optimized",
@@ -96,16 +99,20 @@ def make_training(num_items: int = NUM_ITEMS):
     optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)  # auto: Pallas on TPU
     opt_state = optimizer.init(params)
     step = make_sparse_train_step(model, dual_loss, optimizer, donate=True)
-    return model, params, state, opt_state, step
+    chained = make_chained_sparse_train_step(model, dual_loss, optimizer, donate=True)
+    return model, params, state, opt_state, step, chained
 
 
-def main_e2e(num_sessions: int, workers: int, epochs_long: int) -> dict:
+def main_e2e(num_sessions: int, workers: int, epochs_long: int, chain: int = 1) -> dict:
     import jax
 
     from gat_recommendation_tpu.data.batching import (
+        chain_iterator,
         iterate_batches,
         make_grad_index,
         prefetch_to_device,
+        stack_batches,
+        stack_grad_indices,
         to_device,
     )
 
@@ -113,10 +120,16 @@ def main_e2e(num_sessions: int, workers: int, epochs_long: int) -> dict:
     ds, stats = make_corpus(num_sessions)
     setup_s = time.perf_counter() - t0
 
-    model, params, state, opt_state, step = make_training()
+    model, params, state, opt_state, step, chained_step = make_training()
     rng = jax.random.key(0)
 
     transfer = lambda hb: (to_device(hb), make_grad_index(hb))  # noqa: E731
+
+    def transfer_group(items):
+        if len(items) < chain:
+            return [transfer(b) for b in items]
+        gidxs = [make_grad_index(b) for b in items]
+        return ("chained", to_device(stack_batches(items)), stack_grad_indices(gidxs))
 
     def run_epochs(n_epochs, seed0):
         nonlocal params, state, opt_state
@@ -124,19 +137,36 @@ def main_e2e(num_sessions: int, workers: int, epochs_long: int) -> dict:
         nsteps = 0
         loss = None
         for e in range(n_epochs):
-            batches = prefetch_to_device(
-                iterate_batches(
-                    ds, BATCH_SIZE, shuffle=True, seed=seed0 + e,
-                    engine="native", workers=workers,
-                ),
-                size=4,
-                transfer=transfer,
+            raw = iterate_batches(
+                ds, BATCH_SIZE, shuffle=True, seed=seed0 + e,
+                engine="native", workers=workers,
             )
-            for db in batches:
-                params, state, opt_state, loss = step(
-                    params, state, opt_state, db, jax.random.fold_in(rng, nsteps)
-                )
-                nsteps += 1
+            if chain > 1:
+                # C steps per dispatch/transfer (lax.scan) — the relay
+                # round-trip amortization that closes the e2e gap
+                # (docs/PERFORMANCE.md 'Step chaining').
+                for g in prefetch_to_device(
+                    chain_iterator(raw, chain), size=4, transfer=transfer_group
+                ):
+                    if isinstance(g, tuple) and g[0] == "chained":
+                        _, sb, sg = g
+                        params, state, opt_state, lv = chained_step(
+                            params, state, opt_state, sb, sg, rng, nsteps
+                        )
+                        loss = lv[-1]
+                        nsteps += int(sg.uid.shape[0])
+                    else:
+                        for db in g:
+                            params, state, opt_state, loss = step(
+                                params, state, opt_state, db, jax.random.fold_in(rng, nsteps)
+                            )
+                            nsteps += 1
+            else:
+                for db in prefetch_to_device(raw, size=4, transfer=transfer):
+                    params, state, opt_state, loss = step(
+                        params, state, opt_state, db, jax.random.fold_in(rng, nsteps)
+                    )
+                    nsteps += 1
         _ = float(loss)  # single fence: forces the whole chain to execute
         return time.perf_counter() - t0
 
@@ -162,6 +192,7 @@ def main_e2e(num_sessions: int, workers: int, epochs_long: int) -> dict:
             "t_short": round(t_short, 2),
             "t_long": round(t_long, 2),
             "workers": workers,
+            "chain": chain,
             "corpus_setup_s": round(setup_s, 1),
         },
     }
@@ -206,7 +237,7 @@ def main_device() -> dict:
 
     from gat_recommendation_tpu.data.batching import make_grad_index, to_device
 
-    model, params, state, opt_state, step = make_training()
+    model, params, state, opt_state, step, _chained = make_training()
     dev_batches = [
         (to_device(hb), make_grad_index(hb))
         for hb in make_batches(NUM_ITEMS, BATCH_SIZE, 12)
@@ -259,8 +290,14 @@ def main():
     p.add_argument("--sessions", type=int, default=120_436)
     p.add_argument("--workers", type=int, default=3)
     p.add_argument("--epochs", type=int, default=3, help="slope window (e2e)")
+    p.add_argument("--chain", type=int, default=16,
+                   help="optimizer steps per dispatch (lax.scan; 1 = unchained)")
     args = p.parse_args()
-    result = main_device() if args.device else main_e2e(args.sessions, args.workers, args.epochs)
+    result = (
+        main_device()
+        if args.device
+        else main_e2e(args.sessions, args.workers, args.epochs, args.chain)
+    )
     detail = result.pop("_detail", None)
     if detail is not None:
         import sys

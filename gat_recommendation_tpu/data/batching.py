@@ -478,6 +478,59 @@ def make_grad_index_from_ids(ids: np.ndarray) -> GradIndex:
     return GradIndex(ids=ids, perm=perm, seg=seg, uid=uid)
 
 
+def stack_batches(batches: list) -> "SessionBatch":
+    """Stack C same-shape host batches into one [C, ...] batch (the payload
+    of a chained train step — train/trainer.make_chained_sparse_train_step).
+    One host->device transfer and ONE dispatch then cover C optimizer steps,
+    which matters through remote-TPU relays where per-dispatch latency is
+    the e2e bottleneck (docs/PERFORMANCE.md 'Step chaining')."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def stack_grad_indices(gidxs: list) -> "GradIndex":
+    """Stack C GradIndexes to [C, ...], padding every uid to the group's
+    largest unique-count bucket (sentinel tail rows scatter nowhere, so
+    padding only costs a few extra zero rows in the summed-gradient
+    buffer)."""
+    U = max(g.uid.shape[0] for g in gidxs)
+
+    def pad_uid(u: np.ndarray) -> np.ndarray:
+        out = np.full(U, UID_SENTINEL, np.int32)
+        out[: len(u)] = u
+        return out
+
+    return GradIndex(
+        ids=np.stack([g.ids for g in gidxs]),
+        perm=np.stack([g.perm for g in gidxs]),
+        seg=np.stack([g.seg for g in gidxs]),
+        uid=np.stack([pad_uid(g.uid) for g in gidxs]),
+    )
+
+
+def chain_iterator(iterator, chain: int):
+    """Group consecutive epoch items into runs of `chain` with equal node
+    bucket (iterate_batches yields buckets in ascending order, so runs are
+    long). Yields lists of items; a partial run at a bucket boundary or
+    epoch end is yielded as-is (callers fall back to single steps for it,
+    keeping the compiled-shape count at 2 per bucket: chain-C and chain-1).
+    """
+    pending: list = []
+    pending_n = None
+    for item in iterator:
+        batch = item[0] if isinstance(item, tuple) else item
+        n = batch.nodes_per_session
+        if pending and n != pending_n:
+            yield pending
+            pending = []
+        pending.append(item)
+        pending_n = n
+        if len(pending) == chain:
+            yield pending
+            pending = []
+    if pending:
+        yield pending
+
+
 def _resolve_engine(engine: str) -> str:
     if engine == "auto":
         from gat_recommendation_tpu.data import native

@@ -85,9 +85,29 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
     tests) or a (SessionBatch, GradIndex) tuple (the Trainer hot path).
     """
     assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
+    body = _sparse_step_body(model, loss_fn, optimizer)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(params, state, opt_state, batch, gidx, rng):
+        return body(params, state, opt_state, batch, gidx, rng)
+
+    def wrapper(params, state, opt_state, batch, rng):
+        from gat_recommendation_tpu.data.batching import make_grad_index
+
+        if isinstance(batch, tuple):
+            batch, gidx = batch
+        else:
+            gidx = make_grad_index(batch)
+        return step(params, state, opt_state, batch, gidx, rng)
+
+    return wrapper
+
+
+def _sparse_step_body(model, loss_fn, optimizer) -> Callable:
+    """The traceable sparse-grad update shared by the single-step jit and the
+    chained lax.scan variant."""
+
+    def body(params, state, opt_state, batch, gidx, rng):
         B, N = batch.node_ids.shape
         K = batch.negatives.shape[1]
         table = jax.lax.stop_gradient(params["item_embedding"])
@@ -125,16 +145,42 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
         )
         return new_params, new_state, new_opt_state, loss
 
-    def wrapper(params, state, opt_state, batch, rng):
-        from gat_recommendation_tpu.data.batching import make_grad_index
+    return body
 
-        if isinstance(batch, tuple):
-            batch, gidx = batch
-        else:
-            gidx = make_grad_index(batch)
-        return step(params, state, opt_state, batch, gidx, rng)
 
-    return wrapper
+def make_chained_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> Callable:
+    """Sparse train step that runs C optimizer steps in ONE dispatch.
+
+    (params, state, opt_state, (stacked_batch, stacked_gidx), epoch_rng,
+    step0) -> (params, state, opt_state, losses[C])
+
+    The stacked batch/GradIndex carry a leading chain axis [C, ...]
+    (data/batching.stack_batches / stack_grad_indices); a lax.scan threads
+    (params, state, opt_state) through the C updates on-device. Through a
+    remote-TPU relay every dispatch costs ~ms-scale latency, so folding C
+    steps into one executable is what closes the e2e/device-rate gap
+    (docs/PERFORMANCE.md 'Step chaining'); the per-step RNG stream is
+    fold_in(epoch_rng, step0 + i) — IDENTICAL to the unchained Trainer
+    loop, so chained and unchained training are the same program.
+    """
+    assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
+    body = _sparse_step_body(model, loss_fn, optimizer)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else (), static_argnums=())
+    def chained(params, state, opt_state, batches, gidxs, epoch_rng, step0):
+        def scan_body(carry, x):
+            p, s, o = carry
+            b, g, i = x
+            p, s, o, loss = body(p, s, o, b, g, jax.random.fold_in(epoch_rng, step0 + i))
+            return (p, s, o), loss
+
+        C = gidxs.uid.shape[0]
+        (params, state, opt_state), losses = jax.lax.scan(
+            scan_body, (params, state, opt_state), (batches, gidxs, jnp.arange(C))
+        )
+        return params, state, opt_state, losses
+
+    return chained
 
 
 def make_eval_step(model, k: int, topk_method: str = "auto") -> Callable:
@@ -177,6 +223,7 @@ class Trainer:
         seed: int = 42,
         mesh=None,
         sparse_embedding_grads: bool = False,
+        chain: int = 1,
     ):
         from gat_recommendation_tpu.train.losses import bpr_loss
 
@@ -205,6 +252,7 @@ class Trainer:
         self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
         self.seed = seed
         self.mesh = mesh
+        self.chain = 1  # may be raised below (single-device sparse path only)
 
         self.current_epoch = 0
         self.best_val_metric = 0.0
@@ -238,6 +286,14 @@ class Trainer:
                 self.model, self.loss_fn, self.optimizer, donate=True
             )
             self._eval_step = make_eval_step(self.model, max(self.k_values))
+            if chain > 1:
+                # C optimizer steps per dispatch (lax.scan): same RNG stream
+                # and math as the unchained loop, ~C x fewer relay round
+                # trips — see make_chained_sparse_train_step.
+                self.chain = chain
+                self._chained_step = make_chained_sparse_train_step(
+                    self.model, self.loss_fn, self.optimizer, donate=True
+                )
         else:
             self._train_step = make_train_step(
                 self.model, self.loss_fn, self.optimizer, donate=True
@@ -290,6 +346,29 @@ class Trainer:
             gidx = make_grad_index(batch)
         return (dbatch, gidx)
 
+    def _transfer_chain(self, items: list):
+        """Transfer one chain_iterator group: full groups are stacked on the
+        host (one transfer, one chained dispatch); partial groups at bucket
+        boundaries fall back to per-item transfer + single steps."""
+        from gat_recommendation_tpu.data.batching import (
+            make_grad_index,
+            stack_batches,
+            stack_grad_indices,
+            to_device,
+        )
+
+        # Multi-host items carry a GlobalBatchMeta whose ids must drive the
+        # GradIndex; chaining is a single-device optimization — fall back.
+        multihost = any(
+            isinstance(it, tuple) and it[1] is not None and it[1].ids is not None
+            for it in items
+        )
+        if multihost or len(items) < self.chain:
+            return [self._transfer(it) for it in items]
+        batches = [it[0] if isinstance(it, tuple) else it for it in items]
+        gidxs = [make_grad_index(b) for b in batches]
+        return ("chained", to_device(stack_batches(batches)), stack_grad_indices(gidxs))
+
     # -- epoch work --------------------------------------------------------
 
     def train_epoch(self, params, state, opt_state) -> tuple:
@@ -301,23 +380,51 @@ class Trainer:
         losses = []
         root = jax.random.key(self.seed)
         epoch_rng = jax.random.fold_in(root, self.current_epoch)
+        import jax.numpy as jnp
+
         # _transfer builds the sparse-gradient index on the host (numpy
         # argsort is ~us-scale) before the device transfer, alongside the
         # batch, and handles multi-host (batch, meta) items.
-        batches = prefetch_to_device(
-            self.train_batches(self.current_epoch), size=2, transfer=self._transfer
-        )
-        for step, dbatch in enumerate(batches):
-            rng = jax.random.fold_in(epoch_rng, step)
-            params, state, opt_state, loss = self._train_step(
-                params, state, opt_state, dbatch, rng
+        if self.chain > 1:
+            from gat_recommendation_tpu.data.batching import chain_iterator
+
+            groups = prefetch_to_device(
+                chain_iterator(self.train_batches(self.current_epoch), self.chain),
+                size=2,
+                transfer=self._transfer_chain,
             )
-            losses.append(loss)
+            step = 0
+            for g in groups:
+                if isinstance(g, tuple) and g[0] == "chained":
+                    _, sb, sg = g
+                    params, state, opt_state, loss_vec = self._chained_step(
+                        params, state, opt_state, sb, sg, epoch_rng, step
+                    )
+                    losses.append(loss_vec)
+                    step += int(sg.uid.shape[0])
+                else:  # partial group: list of single items
+                    for dbatch in g:
+                        rng = jax.random.fold_in(epoch_rng, step)
+                        params, state, opt_state, loss = self._train_step(
+                            params, state, opt_state, dbatch, rng
+                        )
+                        losses.append(loss)
+                        step += 1
+        else:
+            batches = prefetch_to_device(
+                self.train_batches(self.current_epoch), size=2, transfer=self._transfer
+            )
+            for step, dbatch in enumerate(batches):
+                rng = jax.random.fold_in(epoch_rng, step)
+                params, state, opt_state, loss = self._train_step(
+                    params, state, opt_state, dbatch, rng
+                )
+                losses.append(loss)
         if not losses:
             return params, state, opt_state, 0.0
-        import jax.numpy as jnp
 
-        avg = float(jnp.mean(jnp.stack(losses)))  # single device->host readback
+        # single device->host readback
+        avg = float(jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in losses])))
         return params, state, opt_state, avg
 
     def _replicate_output(self, x):

@@ -1,0 +1,85 @@
+#!/usr/bin/env bash
+# Reference-scale model-ordering study on the DISCRIMINATIVE structured corpus.
+#
+# Reproduces the shape of the reference's central experiment
+# (/root/reference/docs/EXPERIMENTS.md:38-41: GT-opt 38.28 >> GAT 20.10 >>
+# GraphSAGE 14.79 recall@10 on RetailRocket) in an environment without
+# dataset egress: RetailRocket-scale corpus (466,865-id catalog, ~82k live
+# items, ~120k train sessions) whose sessions are random walks on a latent
+# clustered-Markov item graph (scripts/data/00 --structured), pushed through
+# the production pipeline, then all four models trained with the reference
+# training policy (dual loss a=0.7, AdamW 1e-3/1e-5, batch 128, eval every
+# epoch, early stop on recall@10 patience 10).
+#
+# Outputs: outputs/refscale_structured/<model>/history.json + checkpoints,
+# evaluation_results.json (test split), quality_gate_results.json (winner),
+# and the bf16-moments study run. docs/EXPERIMENTS.md quotes these files.
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+
+DATA_DIR=${DATA_DIR:-data_refscale}
+OUT=${OUT:-outputs/refscale_structured}
+SESSIONS=${SESSIONS:-175000}
+EPOCHS=${EPOCHS:-60}
+MODELS=${MODELS:-"graph_transformer_optimized gat graphsage graph_transformer"}
+
+stamp() { date +%H:%M:%S; }
+
+if [ ! -f "$DATA_DIR/processed/split_info.json" ]; then
+  echo "[$(stamp)] generating structured corpus ($SESSIONS sessions)"
+  python scripts/data/00_generate_synthetic_data.py --structured \
+    --num-sessions "$SESSIONS" --num-items 466865 \
+    --output-file "$DATA_DIR/raw/events.csv"
+  python scripts/data/02_sessionize.py \
+    --input-file "$DATA_DIR/raw/events.csv" \
+    --output-file "$DATA_DIR/interim/sessions.csv" \
+    --stats-file "$DATA_DIR/interim/session_stats.json"
+  python scripts/data/03_temporal_split.py \
+    --input-file "$DATA_DIR/interim/sessions.csv" \
+    --output-dir "$DATA_DIR/processed"
+  python scripts/data/04_build_graph.py \
+    --input-file "$DATA_DIR/processed/train.csv" \
+    --output-file "$DATA_DIR/processed/graph_edges.csv" \
+    --stats-file "$DATA_DIR/processed/graph_stats.json"
+fi
+
+for model in $MODELS; do
+  if [ -f "$OUT/$model/history.json" ]; then
+    echo "[$(stamp)] $model already trained, skipping"
+    continue
+  fi
+  echo "[$(stamp)] training $model"
+  python scripts/train/train_baseline.py --model "$model" \
+    --train-sessions "$DATA_DIR/processed/train.csv" \
+    --val-sessions "$DATA_DIR/processed/val.csv" \
+    --graph-edges "$DATA_DIR/processed/graph_edges.csv" \
+    --max-epochs "$EPOCHS" --checkpoint-every 5 \
+    --output-dir "$OUT"
+done
+
+# bf16 optimizer-moments study: same config/seed as the f32 flagship run.
+if [ ! -f "$OUT/bf16_study/graph_transformer_optimized/history.json" ]; then
+  echo "[$(stamp)] bf16-moments study (flagship config)"
+  python scripts/train/train_baseline.py --model graph_transformer_optimized \
+    --train-sessions "$DATA_DIR/processed/train.csv" \
+    --val-sessions "$DATA_DIR/processed/val.csv" \
+    --graph-edges "$DATA_DIR/processed/graph_edges.csv" \
+    --max-epochs "$EPOCHS" --checkpoint-every 5 --bf16-moments \
+    --output-dir "$OUT/bf16_study"
+fi
+
+echo "[$(stamp)] evaluating all checkpoints on the test split"
+python scripts/evaluate_local.py \
+  --test-sessions "$DATA_DIR/processed/test.csv" \
+  --graph-edges "$DATA_DIR/processed/graph_edges.csv" \
+  --outputs-dir "$OUT" \
+  --results-file "$OUT/evaluation_results.json"
+
+echo "[$(stamp)] quality gate on the flagship"
+python scripts/pipeline/model_quality_gate.py \
+  --checkpoint "$OUT/graph_transformer_optimized/checkpoint_best" \
+  --test-sessions "$DATA_DIR/processed/test.csv" \
+  --graph-edges "$DATA_DIR/processed/graph_edges.csv" \
+  --results-file "$OUT/quality_gate_results.json"
+
+echo "[$(stamp)] DONE"

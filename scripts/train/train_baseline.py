@@ -66,6 +66,11 @@ def parse_args():
                         "uses the dense optax step")
     p.add_argument("--workers", type=int, default=3,
                    help="host batch-assembly threads (C++ engine releases the GIL)")
+    p.add_argument("--chain", type=int, default=16,
+                   help="optimizer steps folded into one dispatch via lax.scan "
+                        "(single-device sparse path; same math and RNG stream "
+                        "as unchained — docs/PERFORMANCE.md 'Step chaining'). "
+                        "1 disables")
     p.add_argument("--bf16-moments", action="store_true",
                    help="store the embedding-table AdamW moments in bfloat16 "
                         "(halves moment HBM traffic; quality impact measured in "
@@ -238,6 +243,7 @@ def main() -> None:
         seed=args.seed,
         mesh=mesh,
         sparse_embedding_grads=args.sparse_grads,
+        chain=args.chain if mesh is None else 1,
     )
 
     params, state, opt_state = trainer.init_state()

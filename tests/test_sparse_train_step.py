@@ -76,6 +76,46 @@ def test_sparse_step_padding_row_stays_zero():
     assert float(jnp.abs(params["item_embedding"][0]).sum()) == 0.0
 
 
+def test_chained_step_matches_unchained(tmp_path):
+    """The lax.scan-chained step (C updates per dispatch) is the SAME
+    program as the unchained loop: identical RNG stream, identical loss
+    trajectory and metrics (docs/PERFORMANCE.md 'Step chaining')."""
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for s in range(60):
+        for t in range(int(rng.integers(3, 12))):
+            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 60))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    edges = (rng.integers(1, 60, 150), rng.integers(1, 60, 150))
+    ds = SessionDataset(df, edges)
+
+    results = {}
+    for chain in (1, 4):
+        model = create_model("graphsage", num_items=ds.num_items,
+                             embedding_dim=16, hidden_dim=16, dropout=0.0)
+        trainer = Trainer(
+            model,
+            train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+            val_batches=lambda: iterate_batches(ds, 8),
+            output_dir=tmp_path / f"chain_{chain}",
+            max_epochs=2, eval_every=1,
+            sparse_embedding_grads=True,
+            chain=chain,
+        )
+        results[chain] = trainer.train()
+    np.testing.assert_allclose(
+        results[1]["train_loss"], results[4]["train_loss"], rtol=1e-5
+    )
+    a, b = results[1]["val_metrics"][-1], results[4]["val_metrics"][-1]
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], atol=1e-9, err_msg=key)
+
+
 def test_trainer_sparse_mode_matches_dense_metrics(tmp_path):
     """Trainer(sparse_embedding_grads=True) trains to the same result."""
     import pandas as pd
