@@ -290,7 +290,7 @@ def main():
     p.add_argument("--sessions", type=int, default=120_436)
     p.add_argument("--workers", type=int, default=3)
     p.add_argument("--epochs", type=int, default=3, help="slope window (e2e)")
-    p.add_argument("--chain", type=int, default=16,
+    p.add_argument("--chain", type=int, default=32,
                    help="optimizer steps per dispatch (lax.scan; 1 = unchained)")
     args = p.parse_args()
     result = (

@@ -7,9 +7,11 @@ variadic sort of the [B, V] score matrix and costs ~19 ms — 95% of the eval
 step. This module provides two faster selectors (measured on TPU v5e,
 B=512, V=466,880, k=20):
 
-  * two_level_topk — EXACT, ~4.7 ms (4x):  per-chunk max over contiguous
-    width-C chunks, top-k over the [B, V/C] chunk maxes, gather the k
-    winning chunks' scores, exact re-rank of the k*C candidates.
+  * two_level_topk — EXACT, 5.4 ms (3.6x; docs/PERFORMANCE.md table is the
+    canonical measurement — an earlier round measured 4.7 ms, within the
+    relay's run-to-run spread): per-chunk max over contiguous width-C
+    chunks, top-k over the [B, V/C] chunk maxes, gather the k winning
+    chunks' scores, exact re-rank of the k*C candidates.
   * approx_topk    — ~1.1 ms (17x): TPU PartialReduce (`lax.approx_max_k`)
     over L candidates + exact re-rank. ~97.5% top-20 index agreement with
     exact at L=128 on worst-case (i.i.d. random) scores; use for in-training

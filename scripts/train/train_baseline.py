@@ -66,7 +66,7 @@ def parse_args():
                         "uses the dense optax step")
     p.add_argument("--workers", type=int, default=3,
                    help="host batch-assembly threads (C++ engine releases the GIL)")
-    p.add_argument("--chain", type=int, default=16,
+    p.add_argument("--chain", type=int, default=32,
                    help="optimizer steps folded into one dispatch via lax.scan "
                         "(single-device sparse path; same math and RNG stream "
                         "as unchained — docs/PERFORMANCE.md 'Step chaining'). "
