@@ -25,19 +25,23 @@ MODELS=${MODELS:-"graph_transformer_optimized gat graphsage graph_transformer"}
 
 stamp() { date +%H:%M:%S; }
 
+# Data stages are CPU-only: force the CPU backend and skip the TPU-relay
+# plugin registration so they can never contend with (or wedge) the chip.
+CPU_ENV="env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu"
+
 if [ ! -f "$DATA_DIR/processed/split_info.json" ]; then
   echo "[$(stamp)] generating structured corpus ($SESSIONS sessions)"
-  python scripts/data/00_generate_synthetic_data.py --structured \
+  $CPU_ENV python scripts/data/00_generate_synthetic_data.py --structured \
     --num-sessions "$SESSIONS" --num-items 466865 \
     --output-file "$DATA_DIR/raw/events.csv"
-  python scripts/data/02_sessionize.py \
+  $CPU_ENV python scripts/data/02_sessionize.py \
     --input-file "$DATA_DIR/raw/events.csv" \
     --output-file "$DATA_DIR/interim/sessions.csv" \
     --stats-file "$DATA_DIR/interim/session_stats.json"
-  python scripts/data/03_temporal_split.py \
+  $CPU_ENV python scripts/data/03_temporal_split.py \
     --input-file "$DATA_DIR/interim/sessions.csv" \
     --output-dir "$DATA_DIR/processed"
-  python scripts/data/04_build_graph.py \
+  $CPU_ENV python scripts/data/04_build_graph.py \
     --input-file "$DATA_DIR/processed/train.csv" \
     --output-file "$DATA_DIR/processed/graph_edges.csv" \
     --stats-file "$DATA_DIR/processed/graph_stats.json"

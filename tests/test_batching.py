@@ -187,6 +187,21 @@ def test_pack_adj_roundtrip(dummy_batch):
         np.testing.assert_array_equal(np.asarray(out_p), adj)
 
 
+def test_chain_iterator_grouping():
+    """chain_iterator: order-preserving, bucket-homogeneous groups of at
+    most `chain` items (the contract stack_batches relies on)."""
+    from gat_recommendation_tpu.data.batching import chain_iterator
+
+    ds = _make_dataset()
+    items = list(iterate_batches(ds, batch_size=4, shuffle=True, seed=1))
+    groups = list(chain_iterator(iter(items), chain=3))
+    flat = [b for g in groups for b in g]
+    assert [id(b) for b in flat] == [id(b) for b in items]  # order preserved
+    for g in groups:
+        assert 1 <= len(g) <= 3
+        assert len({b.nodes_per_session for b in g}) == 1  # same node bucket
+
+
 def test_iterate_batches_covers_epoch():
     ds = _make_dataset()
     seen = 0
