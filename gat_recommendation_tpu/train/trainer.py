@@ -204,6 +204,16 @@ def make_eval_step(model, k: int, topk_method: str = "auto") -> Callable:
     return eval_step
 
 
+def _device_copy(tree):
+    """Copy every device array in a pytree (device-to-device, no host pull).
+
+    Needed because the donated train steps invalidate old buffers: a best-
+    epoch snapshot must own its arrays, not alias the live training state.
+    Non-array leaves (python ints in optax state, etc.) pass through.
+    """
+    return jax.tree.map(lambda a: a.copy() if isinstance(a, jax.Array) else a, tree)
+
+
 class Trainer:
     """Epoch-loop trainer over bucketed SessionBatch streams."""
 
@@ -224,6 +234,7 @@ class Trainer:
         mesh=None,
         sparse_embedding_grads: bool = False,
         chain: int = 1,
+        defer_best: bool = True,
     ):
         from gat_recommendation_tpu.train.losses import bpr_loss
 
@@ -243,10 +254,11 @@ class Trainer:
         self.max_epochs = max_epochs
         self.patience = patience
         self.eval_every = eval_every
-        # checkpoint_best still writes on EVERY improvement; checkpoint_every
-        # throttles only the checkpoint_latest resume snapshot. At reference
-        # scale the latest save is 1.2 GB/epoch — ~60 s through a remote-TPU
-        # relay vs a ~5 s epoch (docs/PERFORMANCE.md). 1 = reference parity.
+        # checkpoint_every throttles only the checkpoint_latest resume
+        # snapshot (the best model is tracked separately — see defer_best).
+        # At reference scale a latest save is 1.2 GB — ~60 s through a
+        # remote-TPU relay vs a ~5 s epoch (docs/PERFORMANCE.md).
+        # 1 = reference parity.
         self.checkpoint_every = checkpoint_every
         self.k_values = k_values if k_values is not None else [10, 20]
         self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
@@ -264,6 +276,16 @@ class Trainer:
         # final epoch even when the cadence (or eval_every) never lands on it.
         self._n_evals = 0
         self._latest_saved_epoch: int | None = None
+        # defer_best: on improvement, snapshot params/state/opt_state on
+        # DEVICE (an HBM copy, microseconds) and persist checkpoint_best once
+        # when training ends. Writing it eagerly per improvement — the
+        # reference's policy (trainer.py:175-198) — costs a full
+        # device->host pull + 1.2 GB Orbax write PER IMPROVING EPOCH, which
+        # at reference scale through a remote-TPU relay is ~60 s against a
+        # ~5 s epoch. The on-disk result is identical; a mid-run crash falls
+        # back to checkpoint_latest (which resume uses anyway).
+        self.defer_best = defer_best
+        self._best_snapshot = None
 
         if mesh is not None:
             from gat_recommendation_tpu.parallel.steps import (
@@ -548,8 +570,19 @@ class Trainer:
                 )
                 if save_latest:
                     self._latest_saved_epoch = epoch
+                if is_best and self.defer_best:
+                    self._best_snapshot = (
+                        _device_copy(params),
+                        _device_copy(state),
+                        _device_copy(opt_state),
+                        epoch,
+                    )
                 self.save_checkpoint(
-                    params, state, opt_state, is_best=is_best, save_latest=save_latest
+                    params,
+                    state,
+                    opt_state,
+                    is_best=is_best and not self.defer_best,
+                    save_latest=save_latest,
                 )
 
                 if stopping:
@@ -562,6 +595,14 @@ class Trainer:
         if trained_this_call and self._latest_saved_epoch != self.current_epoch:
             self.save_checkpoint(params, state, opt_state, is_best=False, save_latest=True)
             self._latest_saved_epoch = self.current_epoch
+
+        if self._best_snapshot is not None:
+            b_params, b_state, b_opt, b_epoch = self._best_snapshot
+            epoch_now = self.current_epoch
+            self.current_epoch = b_epoch  # meta["epoch"] = the best epoch
+            self.save_checkpoint(b_params, b_state, b_opt, is_best=True, save_latest=False)
+            self.current_epoch = epoch_now
+            self._best_snapshot = None
 
         if jax.process_index() == 0:  # shared storage in multi-host runs
             with open(self.output_dir / "history.json", "w") as f:

@@ -16,6 +16,9 @@
 # and the bf16-moments study run. docs/EXPERIMENTS.md quotes these files.
 set -euo pipefail
 cd "$(dirname "$0")/../.."
+# The package is run from the source tree, not installed: scripts need the
+# repo root on sys.path.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 DATA_DIR=${DATA_DIR:-data_refscale}
 OUT=${OUT:-outputs/refscale_structured}
@@ -57,7 +60,7 @@ for model in $MODELS; do
     --train-sessions "$DATA_DIR/processed/train.csv" \
     --val-sessions "$DATA_DIR/processed/val.csv" \
     --graph-edges "$DATA_DIR/processed/graph_edges.csv" \
-    --max-epochs "$EPOCHS" --checkpoint-every 5 \
+    --max-epochs "$EPOCHS" --checkpoint-every 10 \
     --output-dir "$OUT"
 done
 
@@ -68,7 +71,7 @@ if [ ! -f "$OUT/bf16_study/graph_transformer_optimized/history.json" ]; then
     --train-sessions "$DATA_DIR/processed/train.csv" \
     --val-sessions "$DATA_DIR/processed/val.csv" \
     --graph-edges "$DATA_DIR/processed/graph_edges.csv" \
-    --max-epochs "$EPOCHS" --checkpoint-every 5 --bf16-moments \
+    --max-epochs "$EPOCHS" --checkpoint-every 10 --bf16-moments \
     --output-dir "$OUT/bf16_study"
 fi
 

@@ -48,6 +48,58 @@ def test_restore_params_state_uses_manifest(tmp_path):
         ckpt.restore_params_state(tmp_path / "c", {"wrong": jnp.zeros(1)}, state)
 
 
+def test_deferred_best_checkpoint_matches_eager(tmp_path):
+    """defer_best=True (device-side best snapshot, one persist at end) must
+    produce the same checkpoint_best as the eager write-per-improvement
+    policy: identical arrays, identical best-epoch meta."""
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for s in range(30):
+        for t in range(int(rng.integers(3, 8))):
+            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 40))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    edges = (rng.integers(1, 40, 80), rng.integers(1, 40, 80))
+    ds = SessionDataset(df, edges)
+
+    runs = {}
+    for defer in (False, True):
+        model = create_model(
+            "graphsage", num_items=ds.num_items, embedding_dim=8, hidden_dim=8, dropout=0.0
+        )
+        trainer = Trainer(
+            model,
+            train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+            val_batches=lambda: iterate_batches(ds, 8),
+            output_dir=tmp_path / f"defer_{defer}",
+            max_epochs=3,
+            eval_every=1,
+            defer_best=defer,
+        )
+        history = trainer.train()
+        meta = json.loads((tmp_path / f"defer_{defer}" / "checkpoint_best" / "meta.json").read_text())
+        r10 = [m["recall@10"] for m in history["val_metrics"]]
+        assert meta["epoch"] == int(np.argmax(r10))
+        p, s = ckpt.restore_params_state(
+            tmp_path / f"defer_{defer}" / "checkpoint_best", *trainer.init_state()[:2]
+        )
+        runs[defer] = (meta["epoch"], p)
+
+    assert runs[True][0] == runs[False][0]
+    eager, deferred = runs[False][1], runs[True][1]
+    import jax
+
+    for (path_a, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(eager), jax.tree_util.tree_leaves_with_path(deferred)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(path_a))
+
+
 def test_restore_params_state_legacy_checkpoint(tmp_path):
     """Pre-manifest checkpoints restore via the dict-sort-order fallback."""
     params, state, opt_state = _trees()
