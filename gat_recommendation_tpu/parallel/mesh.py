@@ -63,6 +63,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def chained_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Stacked [C, B, ...] chain-group batches: chain axis unsharded (every
+    scan iteration runs on the whole mesh), batch axis over 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def opt_state_shardings(opt_state, params_shardings_tree, mesh: Mesh):
     """Optimizer-state shardings: param-shaped leaves inherit the param rule."""
     rep = replicated(mesh)

@@ -16,6 +16,7 @@ import optax
 
 from gat_recommendation_tpu.parallel.mesh import (
     batch_sharding,
+    chained_batch_sharding,
     opt_state_shardings,
     param_shardings,
     replicated,
@@ -76,40 +77,9 @@ def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
     single-device step.
     """
     assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
+    from gat_recommendation_tpu.train.trainer import _sparse_step_body
 
-    def step(params, state, opt_state, batch, gidx, rng):
-        B, N = batch.node_ids.shape
-        K = batch.negatives.shape[1]
-        table = jax.lax.stop_gradient(params["item_embedding"])
-        rows0 = table[gidx.ids]
-        other = {k_: v for k_, v in params.items() if k_ != "item_embedding"}
-
-        def loss_inner(other_params, rows):
-            node_emb = rows[: B * N].reshape(B, N, -1)
-            target_emb = rows[B * N : B * N + B]
-            neg_emb = rows[B * N + B :].reshape(B, K, -1)
-            full = {**other_params, "item_embedding": table}
-            sess, new_state = model.apply(
-                full, state, batch, model.config, train=True, rng=rng,
-                node_embeddings=node_emb,
-            )
-            loss, _aux = loss_fn.from_embeddings(
-                sess, target_emb, neg_emb, batch.sample_mask
-            )
-            return loss, new_state
-
-        (loss, new_state), (g_other, g_rows) = jax.value_and_grad(
-            loss_inner, argnums=(0, 1), has_aux=True
-        )(other, rows0)
-        summed = jax.ops.segment_sum(
-            g_rows[gidx.perm], gidx.seg,
-            num_segments=gidx.uid.shape[0], indices_are_sorted=True,
-        )
-        summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
-        new_params, new_opt_state = optimizer.update_sparse(
-            g_other, gidx.uid, summed, opt_state, params, mesh=mesh
-        )
-        return new_params, new_state, new_opt_state, loss
+    step = _sparse_step_body(model, loss_fn, optimizer, mesh=mesh)
 
     compiled = {}
 
@@ -134,6 +104,61 @@ def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
         return compiled["step"](params, state, opt_state, batch, gidx, rng)
 
     return sharded_step
+
+
+def make_chained_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
+    """Sharded sparse step that runs C optimizer steps in ONE dispatch.
+
+    Mesh twin of trainer.make_chained_sparse_train_step: the stacked batch
+    carries a leading chain axis [C, ...] with the BATCH axis (axis 1)
+    sharded over 'data' and the chain axis unsharded; a lax.scan threads
+    (params, state, opt_state) through the C sharded updates on-device.
+    GSPMD slices the xs along the (replicated) chain axis, so every scan
+    iteration is exactly the unchained sharded step — same collectives, same
+    RNG stream fold_in(epoch_rng, step0 + i). This closes the same
+    e2e/device-rate dispatch-latency gap on pods that single-device chaining
+    closed on one chip (docs/PERFORMANCE.md 'Step chaining'); without it
+    every multi-chip epoch pays per-dispatch latency batch-count times.
+    """
+    assert hasattr(optimizer, "update_sparse"), "optimizer must support update_sparse"
+    from gat_recommendation_tpu.train.trainer import _sparse_step_body
+
+    body = _sparse_step_body(model, loss_fn, optimizer, mesh=mesh)
+
+    def chained(params, state, opt_state, batches, gidxs, epoch_rng, step0):
+        def scan_body(carry, x):
+            p, s, o = carry
+            b, g, i = x
+            p, s, o, loss = body(p, s, o, b, g, jax.random.fold_in(epoch_rng, step0 + i))
+            return (p, s, o), loss
+
+        C = gidxs.uid.shape[0]
+        (params, state, opt_state), losses = jax.lax.scan(
+            scan_body, (params, state, opt_state), (batches, gidxs, jnp.arange(C))
+        )
+        return params, state, opt_state, losses
+
+    compiled = {}
+
+    def sharded_chained(params, state, opt_state, batches, gidxs, epoch_rng, step0):
+        if "step" not in compiled:
+            ps = param_shardings(params, mesh)
+            ss = state_shardings(state, mesh)
+            os_ = opt_state_shardings(opt_state, ps, mesh)
+            cbs = jax.tree.map(lambda _: chained_batch_sharding(mesh), batches)
+            gs = jax.tree.map(lambda _: replicated(mesh), gidxs)
+            compiled["step"] = jax.jit(
+                chained,
+                in_shardings=(
+                    ps, ss, os_, cbs, gs, replicated(mesh), replicated(mesh),
+                ),
+                out_shardings=(ps, ss, os_, replicated(mesh)),
+            )
+        return compiled["step"](
+            params, state, opt_state, batches, gidxs, epoch_rng, step0
+        )
+
+    return sharded_chained
 
 
 def make_sharded_eval_step(model, k: int, mesh) -> Callable:
@@ -178,6 +203,18 @@ def shard_batch(batch, mesh):
         batch = pack_adj(batch)
     bs = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), batch)
+
+
+def shard_chained_batch(batch, mesh):
+    """Device-put a stacked [C, B, ...] chain-group batch onto the mesh
+    (chain axis unsharded, batch axis over 'data'; adjacency bit-packed for
+    the wire — packbits/dense_adj act on the last axis, rank-agnostic)."""
+    from gat_recommendation_tpu.data.batching import SessionBatch, _worth_packing, pack_adj
+
+    if isinstance(batch, SessionBatch) and _worth_packing(mesh.devices.flat[0]):
+        batch = pack_adj(batch)
+    cbs = chained_batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), cbs), batch)
 
 
 def shard_params(params, state, opt_state, mesh):

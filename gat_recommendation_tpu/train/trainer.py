@@ -103,9 +103,10 @@ def make_sparse_train_step(model, loss_fn, optimizer, donate: bool = False) -> C
     return wrapper
 
 
-def _sparse_step_body(model, loss_fn, optimizer) -> Callable:
-    """The traceable sparse-grad update shared by the single-step jit and the
-    chained lax.scan variant."""
+def _sparse_step_body(model, loss_fn, optimizer, mesh=None) -> Callable:
+    """The traceable sparse-grad update shared by the single-step jit, the
+    chained lax.scan variant, and (with mesh) the sharded equivalents in
+    parallel/steps.py — one body, four dispatch wrappers."""
 
     def body(params, state, opt_state, batch, gidx, rng):
         B, N = batch.node_ids.shape
@@ -141,7 +142,7 @@ def _sparse_step_body(model, loss_fn, optimizer) -> Callable:
         )
         summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
         new_params, new_opt_state = optimizer.update_sparse(
-            g_other, gidx.uid, summed, opt_state, params
+            g_other, gidx.uid, summed, opt_state, params, mesh=mesh
         )
         return new_params, new_state, new_opt_state, loss
 
@@ -235,6 +236,7 @@ class Trainer:
         sparse_embedding_grads: bool = False,
         chain: int = 1,
         defer_best: bool = True,
+        record_hits: bool = False,
     ):
         from gat_recommendation_tpu.train.losses import bpr_loss
 
@@ -263,8 +265,9 @@ class Trainer:
         self.k_values = k_values if k_values is not None else [10, 20]
         self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
         self.seed = seed
+        self.record_hits = record_hits
         self.mesh = mesh
-        self.chain = 1  # may be raised below (single-device sparse path only)
+        self.chain = 1  # raised below (sparse paths; multi-host excluded)
 
         self.current_epoch = 0
         self.best_val_metric = 0.0
@@ -298,6 +301,27 @@ class Trainer:
                 self._train_step = make_sharded_sparse_train_step(
                     self.model, self.loss_fn, self.optimizer, mesh
                 )
+                if chain > 1:
+                    if jax.process_count() == 1:
+                        from gat_recommendation_tpu.parallel.steps import (
+                            make_chained_sharded_sparse_train_step,
+                        )
+
+                        self.chain = chain
+                        self._chained_step = make_chained_sharded_sparse_train_step(
+                            self.model, self.loss_fn, self.optimizer, mesh
+                        )
+                    else:
+                        # Multi-host chaining would need the chain-group's
+                        # GLOBAL GradIndexes bound per process (the stacked
+                        # local rows only cover this host). Not implemented:
+                        # say so rather than silently halving throughput.
+                        logger.warning(
+                            "chain=%d requested but multi-host chaining is "
+                            "not implemented; running unchained steps "
+                            "(per-dispatch latency applies per batch)",
+                            chain,
+                        )
             else:
                 self._train_step = make_sharded_train_step(
                     self.model, self.loss_fn, self.optimizer, mesh
@@ -380,7 +404,8 @@ class Trainer:
         )
 
         # Multi-host items carry a GlobalBatchMeta whose ids must drive the
-        # GradIndex; chaining is a single-device optimization — fall back.
+        # GradIndex — defensive fallback; the constructor never enables
+        # chaining under process_count > 1 (and logs why).
         multihost = any(
             isinstance(it, tuple) and it[1] is not None and it[1].ids is not None
             for it in items
@@ -389,7 +414,12 @@ class Trainer:
             return [self._transfer(it) for it in items]
         batches = [it[0] if isinstance(it, tuple) else it for it in items]
         gidxs = [make_grad_index(b) for b in batches]
-        return ("chained", to_device(stack_batches(batches)), stack_grad_indices(gidxs))
+        stacked = stack_batches(batches)
+        if self.mesh is not None:
+            from gat_recommendation_tpu.parallel.steps import shard_chained_batch
+
+            return ("chained", shard_chained_batch(stacked, self.mesh), stack_grad_indices(gidxs))
+        return ("chained", to_device(stacked), stack_grad_indices(gidxs))
 
     # -- epoch work --------------------------------------------------------
 
@@ -488,6 +518,17 @@ class Trainer:
         for k in self.k_values:
             metrics[f"recall@{k}"] = compute_recall_at_k(predictions, targets_arr, k)
             metrics[f"ndcg@{k}"] = compute_ndcg_at_k(predictions, targets_arr, k)
+        if self.record_hits:
+            # Per-session hit vector at k_values[0], aligned with the (fixed,
+            # unshuffled) val iteration order — lets callers compute PAIRED
+            # bootstrap CIs on recall margins between models trained on the
+            # same split (ordering claims from point estimates alone are
+            # unfalsifiable at probe scale; see VERDICT r3 weak #5).
+            k0 = self.k_values[0]
+            hits = (predictions[:, :k0] == targets_arr[:, None]).any(axis=1)
+            self.history.setdefault(f"val_hits@{k0}", []).append(
+                hits.astype(np.int8).tolist()
+            )
         return metrics
 
     # -- checkpointing -----------------------------------------------------

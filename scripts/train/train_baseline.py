@@ -243,7 +243,8 @@ def main() -> None:
         seed=args.seed,
         mesh=mesh,
         sparse_embedding_grads=args.sparse_grads,
-        chain=args.chain if mesh is None else 1,
+        chain=args.chain,  # sharded chaining: parallel/steps.py (multi-host
+        # runs fall back to unchained steps, logged by the Trainer)
     )
 
     params, state, opt_state = trainer.init_state()

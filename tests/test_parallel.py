@@ -180,3 +180,48 @@ def test_fused_optimizer_moments_row_sharded():
     shardings = opt_state_shardings(opt.init(params), param_shardings(params, mesh), mesh)
     assert shardings["emb_mu"].spec == jax.sharding.PartitionSpec("model", None)
     assert shardings["emb_nu"].spec == jax.sharding.PartitionSpec("model", None)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_chained_step_matches_unchained(tmp_path, mesh_shape):
+    """Sharded lax.scan chaining (C updates per dispatch on the mesh) is the
+    SAME program as the unchained sharded loop: identical RNG stream, loss
+    trajectory and metrics — the mesh twin of
+    test_sparse_train_step.test_chained_step_matches_unchained."""
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in range(64):
+        for t in range(int(rng.integers(3, 12))):
+            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 60))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    edges = (rng.integers(1, 60, 150), rng.integers(1, 60, 150))
+    ds = SessionDataset(df, edges)
+
+    results = {}
+    for chain in (1, 4):
+        mesh = make_mesh(*mesh_shape)
+        model = create_model("graphsage", num_items=ds.num_items,
+                             embedding_dim=16, hidden_dim=16, dropout=0.0)
+        trainer = Trainer(
+            model,
+            train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+            val_batches=lambda: iterate_batches(ds, 8),
+            output_dir=tmp_path / f"chain_{chain}",
+            max_epochs=2, eval_every=1,
+            mesh=mesh,
+            sparse_embedding_grads=True,
+            chain=chain,
+        )
+        assert trainer.chain == chain  # mesh path must honor chaining now
+        results[chain] = trainer.train()
+    np.testing.assert_allclose(
+        results[1]["train_loss"], results[4]["train_loss"], rtol=1e-5
+    )
+    a, b = results[1]["val_metrics"][-1], results[4]["val_metrics"][-1]
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], atol=1e-9, err_msg=key)
