@@ -39,6 +39,15 @@ def main() -> None:
                    help="(structured) distractor insertion probability")
     p.add_argument("--repeat-prob", type=float, default=0.25,
                    help="(structured) walk revisit probability")
+    p.add_argument("--successors-per-item", type=int, default=8,
+                   help="(structured) out-degree of the latent Markov chain")
+    p.add_argument("--cross-cluster-successors", type=int, default=2,
+                   help="(structured) successors into the linked clusters")
+    p.add_argument("--dirichlet-alpha", type=float, default=0.4,
+                   help="(structured) transition-weight concentration "
+                        "(lower = sharper transitions = higher ceiling)")
+    p.add_argument("--pop-exponent", type=float, default=1.05,
+                   help="(structured) start/distractor popularity Zipf")
     args = p.parse_args()
 
     logger = get_logger(__name__)
@@ -48,6 +57,10 @@ def main() -> None:
             seed=args.seed, num_active=args.num_active,
             num_clusters=args.num_clusters, noise_prob=args.noise_prob,
             repeat_prob=args.repeat_prob,
+            successors_per_item=args.successors_per_item,
+            cross_cluster_successors=args.cross_cluster_successors,
+            dirichlet_alpha=args.dirichlet_alpha,
+            pop_exponent=args.pop_exponent,
             mean_session_length=args.mean_session_length,
         )
     else:

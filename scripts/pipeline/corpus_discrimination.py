@@ -26,6 +26,38 @@ from pathlib import Path
 import numpy as np
 
 
+def bootstrap_ci(hits: np.ndarray, n_boot: int = 2000, seed: int = 0) -> tuple[float, float]:
+    """95% bootstrap CI of a Bernoulli mean (per-session hit vector)."""
+    rng = np.random.default_rng(seed)
+    n = len(hits)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    means = hits[idx].mean(axis=1)
+    return float(np.quantile(means, 0.025)), float(np.quantile(means, 0.975))
+
+
+def paired_margin_ci(
+    hits_a: np.ndarray, hits_b: np.ndarray, n_boot: int = 2000, seed: int = 0
+) -> dict:
+    """Paired bootstrap over sessions for recall(a) - recall(b).
+
+    The two models are evaluated on the SAME val sessions, so per-session
+    hits are correlated; resampling sessions jointly gives a much tighter
+    (and honest) CI on the margin than differencing two independent CIs.
+    An ordering claim is only 'resolved' when the 95% CI excludes zero.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(hits_a)
+    diff = hits_a.astype(np.float64) - hits_b.astype(np.float64)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    margins = diff[idx].mean(axis=1)
+    lo, hi = float(np.quantile(margins, 0.025)), float(np.quantile(margins, 0.975))
+    return {
+        "margin": float(diff.mean()),
+        "ci95": [round(lo, 5), round(hi, 5)],
+        "resolved": bool(lo > 0 or hi < 0),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--num-sessions", type=int, default=30_000)
@@ -34,6 +66,11 @@ def main() -> None:
     p.add_argument("--num-clusters", type=int, default=None)
     p.add_argument("--noise-prob", type=float, default=0.15)
     p.add_argument("--repeat-prob", type=float, default=0.25)
+    p.add_argument("--successors-per-item", type=int, default=8)
+    p.add_argument("--cross-cluster-successors", type=int, default=2)
+    p.add_argument("--dirichlet-alpha", type=float, default=0.4)
+    p.add_argument("--mean-session-length", type=int, default=8)
+    p.add_argument("--pop-exponent", type=float, default=1.05)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--max-epochs", type=int, default=40)
     p.add_argument("--patience", type=int, default=10)
@@ -66,6 +103,11 @@ def main() -> None:
         num_sessions=args.num_sessions, num_items=args.num_items, seed=args.seed,
         num_active=args.num_active, num_clusters=args.num_clusters,
         noise_prob=args.noise_prob, repeat_prob=args.repeat_prob,
+        successors_per_item=args.successors_per_item,
+        cross_cluster_successors=args.cross_cluster_successors,
+        dirichlet_alpha=args.dirichlet_alpha,
+        mean_session_length=args.mean_session_length,
+        pop_exponent=args.pop_exponent,
     )
     sessions = sessionize_events(events)
     train_df, val_df, _test_df, info = create_temporal_splits(sessions)
@@ -92,6 +134,7 @@ def main() -> None:
 
     out_root = Path(args.output_dir)
     results: dict = {"config": vars(args), "baselines": baselines, "models": {}}
+    best_hits: dict[str, np.ndarray] = {}
     for name in args.models:
         t0 = time.time()
         model = create_model(
@@ -114,6 +157,7 @@ def main() -> None:
             loss_fn=create_loss_function("dual", 0.7),
             sparse_embedding_grads=True,
             chain=16,
+            record_hits=True,
         )
         params, state, opt_state = trainer.init_state()
         if model.uses_laplacian_pe:
@@ -121,20 +165,40 @@ def main() -> None:
         trainer.train(params, state, opt_state)
         r10 = [m["recall@10"] for m in trainer.history["val_metrics"]]
         best = int(np.argmax(r10))
+        hits = np.asarray(trainer.history["val_hits@10"][best], dtype=np.int8)
+        best_hits[name] = hits
+        lo, hi = bootstrap_ci(hits)
         results["models"][name] = {
             "best_recall@10": r10[best],
+            "ci95": [round(lo, 5), round(hi, 5)],
             "best_epoch": best,
             "epochs_run": len(r10),
             "seconds": round(time.time() - t0, 1),
             "trajectory_recall@10": [round(x, 4) for x in r10],
         }
-        logger.info(f"== {name}: best r@10 {r10[best]:.4f} @ epoch {best}")
+        logger.info(
+            f"== {name}: best r@10 {r10[best]:.4f} [{lo:.4f}, {hi:.4f}] @ epoch {best}"
+        )
 
     order = sorted(results["models"], key=lambda k: -results["models"][k]["best_recall@10"])
     results["order"] = order
+    # Paired bootstrap on every model pair: an ordering edge only counts as
+    # settled when the margin CI excludes 0 (advisor r3: 0.003-0.007 margins
+    # on ~2,360 sessions are inside sampling noise).
+    pairs: dict = {}
+    names = list(best_hits)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pairs[f"{a} - {b}"] = paired_margin_ci(best_hits[a], best_hits[b])
+    results["pairwise_margins"] = pairs
+    unresolved = [k for k, v in pairs.items() if not v["resolved"]]
+    results["unresolved_pairs"] = unresolved
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "results.json").write_text(json.dumps(results, indent=2))
     logger.info("ORDER: " + " > ".join(order))
+    for k, v in pairs.items():
+        tag = "SETTLED" if v["resolved"] else "UNRESOLVED (CI contains 0)"
+        logger.info(f"   {k}: {v['margin']:+.4f} {v['ci95']} {tag}")
 
 
 if __name__ == "__main__":
