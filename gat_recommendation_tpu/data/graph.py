@@ -108,6 +108,13 @@ def save_edges(edges_df: pd.DataFrame, csv_path, npz_path=None) -> None:
 def load_edges(path) -> tuple[np.ndarray, np.ndarray]:
     """(item_i, item_j) int64 arrays from .npz (fast) or .csv (reference format)."""
     path = Path(path)
+    if not path.exists():
+        # Sibling-extension fallback: the packed npz is the committed form at
+        # reference scale (the 67 MB CSV duplicate is not tracked); accept
+        # either spelling so callers can pass the reference-parity .csv path.
+        sibling = path.with_suffix(".npz" if path.suffix == ".csv" else ".csv")
+        if sibling.exists():
+            path = sibling
     if path.suffix == ".npz":
         with np.load(path) as z:
             return z["item_i"].astype(np.int64), z["item_j"].astype(np.int64)

@@ -1,7 +1,10 @@
-"""Split-contract tests against real pipeline outputs (skip-if-absent).
+"""Split-contract tests against real pipeline outputs.
 
-Parity with reference tests/test_splits.py: no temporal leakage including the
-blackout margin, blackout days in range, zero session overlap across splits.
+Parity with reference tests/test_splits.py: no temporal leakage including
+the blackout margin, blackout days in range, zero session overlap across
+splits. Parametrized over every corpus present in the repo — `data/` (local
+`make data`) and the committed reference-scale corpus `data_refscale/` —
+so the committed corpus is exercised in CI, not just stored.
 """
 
 import json
@@ -10,23 +13,27 @@ from pathlib import Path
 import pandas as pd
 import pytest
 
-PROCESSED = Path(__file__).parent.parent / "data" / "processed"
+ROOT = Path(__file__).parent.parent
+_REQUIRED = ("split_info.json", "train.csv", "val.csv", "test.csv")
+_PARAMS = [
+    d / "processed"
+    for d in (ROOT / "data", ROOT / "data_refscale")
+    if all((d / "processed" / f).exists() for f in _REQUIRED)
+]
 
-# Gate on the CSVs, not just split_info.json: run *stats* are committed as
-# reference-scale evidence while the multi-GB CSVs themselves are not.
 pytestmark = pytest.mark.skipif(
-    not all((PROCESSED / f).exists() for f in ("split_info.json", "train.csv", "val.csv", "test.csv")),
-    reason="split outputs absent (run `make data`)",
+    not _PARAMS, reason="no split outputs anywhere (run `make data`)"
 )
 
 
-@pytest.fixture(scope="module")
-def splits():
+@pytest.fixture(scope="module", params=_PARAMS, ids=lambda d: d.parent.name)
+def splits(request):
+    processed = request.param
     return (
-        pd.read_csv(PROCESSED / "train.csv"),
-        pd.read_csv(PROCESSED / "val.csv"),
-        pd.read_csv(PROCESSED / "test.csv"),
-        json.loads((PROCESSED / "split_info.json").read_text()),
+        pd.read_csv(processed / "train.csv"),
+        pd.read_csv(processed / "val.csv"),
+        pd.read_csv(processed / "test.csv"),
+        json.loads((processed / "split_info.json").read_text()),
     )
 
 
