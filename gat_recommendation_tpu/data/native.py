@@ -105,6 +105,31 @@ def _do_load():
         ctypes.POINTER(ctypes.c_int32),  # negatives
         ctypes.POINTER(ctypes.c_uint8),  # sample_mask
     ]
+    # Serving-side int8 candidate scorer (native/scorer.cpp).
+    lib.quantize_table.restype = None
+    lib.quantize_table.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # table f32 [V*D]
+        ctypes.c_int64,  # V
+        ctypes.c_int32,  # D
+        ctypes.POINTER(ctypes.c_int8),  # q out [V*D]
+        ctypes.POINTER(ctypes.c_float),  # scale out [V]
+        ctypes.POINTER(ctypes.c_int32),  # rowsum out [V]
+    ]
+    lib.score_int8_topl.restype = None
+    lib.score_int8_topl.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),  # q
+        ctypes.POINTER(ctypes.c_float),  # scale
+        ctypes.POINTER(ctypes.c_int32),  # rowsum
+        ctypes.c_int64,  # V
+        ctypes.c_int32,  # D
+        ctypes.POINTER(ctypes.c_int8),  # sess_q [D]
+        ctypes.c_float,  # sess_scale
+        ctypes.POINTER(ctypes.c_uint8),  # seen mask [V] or NULL
+        ctypes.c_int32,  # L
+        ctypes.c_int32,  # n_threads
+        ctypes.POINTER(ctypes.c_int64),  # out_idx [L]
+        ctypes.POINTER(ctypes.c_float),  # out_score [L]
+    ]
     _lib = lib
     _load_attempted = True
     return _lib
@@ -185,3 +210,67 @@ def assemble_batch(
         negatives=negatives,
         sample_mask=sample_mask.astype(bool),
     )
+
+
+# -- serving-side int8 scorer (native/scorer.cpp) ---------------------------
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def quantize_table(table: np.ndarray):
+    """Per-row int8 quantization of a [V, D] f32 table.
+
+    Returns (q int8 [V, D], scale f32 [V], rowsum int32 [V]); row i
+    dequantizes as q[i] * scale[i], rowsum feeds the unsigned-bias
+    correction inside score_int8_topl.
+    """
+    lib = _load()
+    assert lib is not None, "libbatcher.so unavailable"
+    table = np.ascontiguousarray(table, dtype=np.float32)
+    V, D = table.shape
+    q = np.empty((V, D), np.int8)
+    scale = np.empty(V, np.float32)
+    rowsum = np.empty(V, np.int32)
+    lib.quantize_table(_f32p(table), V, D, _i8p(q), _f32p(scale), _i32p(rowsum))
+    return q, scale, rowsum
+
+
+def score_int8_topl(
+    q: np.ndarray,
+    scale: np.ndarray,
+    rowsum: np.ndarray,
+    sess: np.ndarray,
+    L: int,
+    seen: np.ndarray | None = None,
+    n_threads: int = 2,
+):
+    """Top-L candidate rows of `q` by approximate (int8) dot score with the
+    f32 query vector `sess`. Returns (idx int64 [<=L], approx_score f32);
+    rows with seen[i]=True or all-zero rows are excluded. Callers re-rank
+    the candidates exactly in f32 (serving/recommender.py)."""
+    lib = _load()
+    assert lib is not None, "libbatcher.so unavailable"
+    V, D = q.shape
+    sess = np.ascontiguousarray(sess, dtype=np.float32).reshape(D)
+    s_sess = float(np.abs(sess).max()) / 127.0
+    sess_q = (
+        np.round(sess / s_sess).clip(-127, 127).astype(np.int8)
+        if s_sess > 0
+        else np.zeros(D, np.int8)
+    )
+    out_idx = np.empty(L, np.int64)
+    out_score = np.empty(L, np.float32)
+    seen_p = _u8p(seen) if seen is not None else None
+    lib.score_int8_topl(
+        _i8p(q), _f32p(scale), _i32p(rowsum), V, D,
+        _i8p(sess_q), ctypes.c_float(s_sess), seen_p,
+        L, n_threads, _i64p(out_idx), _f32p(out_score),
+    )
+    keep = out_idx >= 0
+    return out_idx[keep], out_score[keep]

@@ -29,6 +29,32 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _restore_arrays(arrays_path, n_leaves: int, template_by_key: dict):
+    """Restore the flat {str(i): array} dict, placement driven by TEMPLATES.
+
+    Without explicit restore args Orbax re-reads the sharding recorded at
+    save time — which cannot be materialized on a different topology (e.g. a
+    CPU serving host restoring a TPU-written checkpoint fails with a
+    sharding-deserialization error). Leaves with a jax.Array template
+    restore onto that template's sharding (mesh-sharded on resume,
+    single-device on serving hosts); leaves without a template restore as
+    host numpy, which needs no device at all.
+    """
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    args = {}
+    for i in range(n_leaves):
+        leaf = template_by_key.get(str(i))
+        if isinstance(leaf, jax.Array):
+            args[str(i)] = ocp.ArrayRestoreArgs(
+                sharding=leaf.sharding, global_shape=leaf.shape, dtype=leaf.dtype
+            )
+        else:
+            args[str(i)] = ocp.RestoreArgs(restore_type=np.ndarray)
+    return _checkpointer().restore(arrays_path, restore_args=args)
+
+
 def _leaf_paths(tree) -> list[str]:
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     return [jax.tree_util.keystr(path) for path, _ in flat]
@@ -82,7 +108,9 @@ def restore(path: str | Path, params_template, state_template, opt_state_templat
         meta = json.load(f)
     _verify_manifest(meta, tree)
     leaves, treedef = jax.tree.flatten(tree)
-    restored = _checkpointer().restore(path / "arrays")
+    restored = _restore_arrays(
+        path / "arrays", len(leaves), {str(i): leaf for i, leaf in enumerate(leaves)}
+    )
     new_leaves = [restored[str(i)] for i in range(len(leaves))]
     rebuilt = jax.tree.unflatten(treedef, new_leaves)
     return rebuilt["params"], rebuilt["state"], rebuilt["opt_state"], meta
@@ -102,7 +130,6 @@ def restore_params_state(path: str | Path, params_template, state_template):
     (opt_state < params < state => params/state occupy the flat suffix).
     """
     path = Path(path).absolute()
-    restored = _checkpointer().restore(path / "arrays")
     p_leaves, p_def = jax.tree.flatten(params_template)
     s_leaves, s_def = jax.tree.flatten(state_template)
     meta = load_meta(path)
@@ -120,7 +147,15 @@ def restore_params_state(path: str | Path, params_template, state_template):
         want_s = [f"['state']{p}" for p in _leaf_paths(state_template)]
         if [saved[i] for i in p_idx] != want_p or [saved[i] for i in s_idx] != want_s:
             raise ValueError("Checkpoint params/state leaf paths do not match templates")
+        templates = {
+            **{str(i): leaf for i, leaf in zip(p_idx, p_leaves)},
+            **{str(i): leaf for i, leaf in zip(s_idx, s_leaves)},
+        }
+        # opt_state leaves have no template here: they restore as host numpy
+        # (sharding-free), so serving hosts never touch the saved topology.
+        restored = _restore_arrays(path / "arrays", len(saved), templates)
     else:
+        restored = _checkpointer().restore(path / "arrays")
         n_total = len(restored)
         n_p, n_s = len(p_leaves), len(s_leaves)
         n_o = n_total - n_p - n_s

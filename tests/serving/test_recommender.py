@@ -204,3 +204,31 @@ def test_http_server_end_to_end(fake_app):
         assert err.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_int8_scoring_matches_exact(trained_checkpoint):
+    """The int8 candidate path (native scorer + exact f32 re-rank) equals
+    the exact jitted GEMV path when L >= catalog size (every row is a
+    candidate, so membership cannot differ and the re-rank IS the exact
+    ranking) — pins the serving wiring: seen-mask exclusion, padding/phantom
+    exclusion via zeroed scales, score dtype."""
+    from gat_recommendation_tpu.data import native
+    from gat_recommendation_tpu.serving.recommender import Recommender
+
+    if not native.available():
+        pytest.skip("libbatcher.so unavailable")
+    ckpt, edges = trained_checkpoint
+    exact = Recommender(ckpt, edges, buckets=(8, 16), warmup=False, int8_scoring=False)
+    fast = Recommender(ckpt, edges, buckets=(8, 16), warmup=False, int8_scoring=True)
+    assert fast.int8_scoring and not exact.int8_scoring
+    for items in ([1, 2, 3], [5], list(range(1, 12))):
+        v = ValidatedRequest(session_items=items, k=10)
+        items_a, scores_a = exact.recommend(v)
+        items_b, scores_b = fast.recommend(v)
+        np.testing.assert_allclose(scores_a, scores_b, rtol=1e-5, atol=1e-6)
+        # ordering may legitimately differ only at exact score ties
+        assert set(items_a) == set(items_b) or np.allclose(
+            sorted(scores_a), sorted(scores_b)
+        )
+        for it in items:  # seen items masked on both paths
+            assert it not in items_b
