@@ -41,3 +41,12 @@ run s8a015    --dirichlet-alpha 0.15
 run s4a02l12  --successors-per-item 4 --cross-cluster-successors 1 --dirichlet-alpha 0.2 \
               --mean-session-length 12 --noise-prob 0.10
 echo "SWEEP DONE"
+
+# Round-2 refinement: s4a02 won on ceiling; probe whether extra distractor
+# noise widens the flagship-vs-baseline gap (attention filters distractors)
+# without dropping the ceiling below the gate floors.
+run s4a02n25  --successors-per-item 4 --cross-cluster-successors 1 --dirichlet-alpha 0.2 \
+              --noise-prob 0.25
+run s4a02n35  --successors-per-item 4 --cross-cluster-successors 1 --dirichlet-alpha 0.2 \
+              --noise-prob 0.35
+echo "SWEEP2 DONE"

@@ -18,6 +18,8 @@ import json
 import sys
 from pathlib import Path
 
+import numpy as np
+
 DISPLAY = {
     "graph_transformer_optimized": "GT optimized",
     "graph_transformer": "GT (+FFN)",
@@ -82,6 +84,35 @@ def main() -> None:
         )
 
     print("\nordering by best val recall@10: " + " > ".join(DISPLAY.get(n, n) for n in order))
+
+    # Paired bootstrap CIs on adjacent ordering margins, when the runs
+    # recorded per-session hit vectors (train_baseline.py --record-hits).
+    # An ordering edge is only claimed settled when the 95% CI excludes 0.
+    hits = {}
+    for name in order:
+        hist = json.loads((args.study_dir / name / "history.json").read_text())
+        hv = hist.get("val_hits@10")
+        if hv:
+            best = rows[name]["best_epoch"]
+            hits[name] = np.asarray(hv[best], dtype=np.float64)
+    if len(hits) >= 2:
+        rng = np.random.default_rng(0)
+        print("\nadjacent ordering margins (paired bootstrap, 95% CI):")
+        present = [n for n in order if n in hits]
+        for a, b in zip(present, present[1:]):
+            if len(hits[a]) != len(hits[b]):
+                print(f"  {a} - {b}: hit vectors differ in length, skipped")
+                continue
+            diff = hits[a] - hits[b]
+            idx = rng.integers(0, len(diff), size=(2000, len(diff)))
+            margins = diff[idx].mean(axis=1)
+            lo, hi = np.quantile(margins, [0.025, 0.975])
+            tag = "SETTLED" if lo > 0 or hi < 0 else "UNRESOLVED (CI contains 0)"
+            print(
+                f"  {DISPLAY.get(a, a)} - {DISPLAY.get(b, b)}: "
+                f"{diff.mean():+.4f} [{lo:+.4f}, {hi:+.4f}] {tag}"
+            )
+
     gate = args.study_dir / "quality_gate_results.json"
     if gate.exists():
         g = json.loads(gate.read_text())

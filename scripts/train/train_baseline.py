@@ -71,6 +71,10 @@ def parse_args():
                         "(single-device sparse path; same math and RNG stream "
                         "as unchained — docs/PERFORMANCE.md 'Step chaining'). "
                         "1 disables")
+    p.add_argument("--record-hits", action="store_true",
+                   help="record per-session val hit vectors (recall@k0) into "
+                        "history.json — enables paired bootstrap CIs on model "
+                        "ordering margins (summarize_refscale.py)")
     p.add_argument("--bf16-moments", action="store_true",
                    help="store the embedding-table AdamW moments in bfloat16 "
                         "(halves moment HBM traffic; quality impact measured in "
@@ -245,6 +249,7 @@ def main() -> None:
         sparse_embedding_grads=args.sparse_grads,
         chain=args.chain,  # sharded chaining: parallel/steps.py (multi-host
         # runs fall back to unchained steps, logged by the Trainer)
+        record_hits=args.record_hits,
     )
 
     params, state, opt_state = trainer.init_state()
