@@ -126,6 +126,12 @@ static void heap_sift_down(HeapEntry* h, int32_t n, int32_t i) {
 
 // Scan rows [lo, hi) of the quantized table, keep the top-L by approximate
 // (dequantized) score in a heap. seen: optional V-byte mask (1 = exclude).
+//
+// The hot loop processes 4 rows per iteration with independent accumulator
+// chains: a single-accumulator row dot is LATENCY-bound on dpbusd (~5-cycle
+// chain per 32/64 bytes — measured 5.5 GB/s single-thread), while 4
+// interleaved rows keep the FMA ports saturated and push the scan to the
+// memory-bandwidth roof.
 static void scan_range(const int8_t* q, const float* scale,
                        const int32_t* rowsum, const uint8_t* sess_u,
                        float sess_scale, int32_t sess_bias_sum, int32_t D,
@@ -133,19 +139,58 @@ static void scan_range(const int8_t* q, const float* scale,
                        std::vector<HeapEntry>& heap) {
   heap.assign(L, HeapEntry{-3.4e38f, -1});
   float hmin = -3.4e38f;
-  for (int64_t i = lo; i < hi; ++i) {
-    if (seen && seen[i]) continue;
+  auto push = [&](int64_t i, int32_t dot) {
+    if (seen && seen[i]) return;
     float s = scale[i];
-    if (s == 0.f) continue;  // zero rows (padding, unused capacity)
-    int32_t acc = dot_u8s8(sess_u, q + i * D, D);
-    // remove the +128 session bias: sum((qs+128)*qr) - 128*sum(qr)
-    int32_t dot = acc - 128 * rowsum[i];
+    if (s == 0.f) return;  // zero rows (padding, unused capacity)
     float score = s * sess_scale * (float)dot;
     if (score > hmin) {
       heap[0] = HeapEntry{score, i};
       heap_sift_down(heap.data(), L, 0);
       hmin = heap[0].score;
     }
+  };
+  int64_t i = lo;
+#if defined(__AVX512VNNI__) && defined(__AVX512F__)
+  for (; i + 4 <= hi; i += 4) {
+    const int8_t* r0 = q + i * D;
+    const int8_t* r1 = r0 + D;
+    const int8_t* r2 = r1 + D;
+    const int8_t* r3 = r2 + D;
+    __m512i a0 = _mm512_setzero_si512(), a1 = _mm512_setzero_si512();
+    __m512i a2 = _mm512_setzero_si512(), a3 = _mm512_setzero_si512();
+    _mm_prefetch((const char*)(r3 + D), _MM_HINT_T0);
+    _mm_prefetch((const char*)(r3 + D + 64), _MM_HINT_T0);
+    _mm_prefetch((const char*)(r3 + D + 128), _MM_HINT_T0);
+    _mm_prefetch((const char*)(r3 + D + 192), _MM_HINT_T0);
+    int32_t d = 0;
+    for (; d + 64 <= D; d += 64) {
+      __m512i u = _mm512_loadu_si512((const void*)(sess_u + d));
+      a0 = _mm512_dpbusd_epi32(a0, u, _mm512_loadu_si512((const void*)(r0 + d)));
+      a1 = _mm512_dpbusd_epi32(a1, u, _mm512_loadu_si512((const void*)(r1 + d)));
+      a2 = _mm512_dpbusd_epi32(a2, u, _mm512_loadu_si512((const void*)(r2 + d)));
+      a3 = _mm512_dpbusd_epi32(a3, u, _mm512_loadu_si512((const void*)(r3 + d)));
+    }
+    int32_t dot0 = _mm512_reduce_add_epi32(a0);
+    int32_t dot1 = _mm512_reduce_add_epi32(a1);
+    int32_t dot2 = _mm512_reduce_add_epi32(a2);
+    int32_t dot3 = _mm512_reduce_add_epi32(a3);
+    for (; d < D; ++d) {
+      dot0 += (int32_t)sess_u[d] * (int32_t)r0[d];
+      dot1 += (int32_t)sess_u[d] * (int32_t)r1[d];
+      dot2 += (int32_t)sess_u[d] * (int32_t)r2[d];
+      dot3 += (int32_t)sess_u[d] * (int32_t)r3[d];
+    }
+    push(i + 0, dot0 - 128 * rowsum[i + 0]);
+    push(i + 1, dot1 - 128 * rowsum[i + 1]);
+    push(i + 2, dot2 - 128 * rowsum[i + 2]);
+    push(i + 3, dot3 - 128 * rowsum[i + 3]);
+  }
+#endif
+  for (; i < hi; ++i) {
+    int32_t acc = dot_u8s8(sess_u, q + i * D, D);
+    // remove the +128 session bias: sum((qs+128)*qr) - 128*sum(qr)
+    push(i, acc - 128 * rowsum[i]);
   }
 }
 
