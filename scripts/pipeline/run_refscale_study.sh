@@ -21,17 +21,18 @@ cd "$(dirname "$0")/../.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 DATA_DIR=${DATA_DIR:-data_refscale}
-OUT=${OUT:-outputs/refscale_v2}
+OUT=${OUT:-outputs/refscale_v3}
 SESSIONS=${SESSIONS:-175000}
 EPOCHS=${EPOCHS:-60}
 MODELS=${MODELS:-"graph_transformer_optimized gat graphsage graph_transformer"}
-# Corpus v2 (round 4): successors 8->4 (cross 2->1) and Dirichlet a 0.4->0.2
-# raise the learnable ceiling past the reference gate floors while keeping
-# the discrimination (probe sweep: GT-opt 0.516 >> GAT 0.424 > SAGE 0.359,
-# popularity 0.096 — outputs/sweep_s4a02/results.json). v1 (defaults)
-# discriminated but capped at r@10 0.21 < the 0.30 floor
-# (outputs/refscale_structured/).
-CORPUS_ARGS=${CORPUS_ARGS:-"--successors-per-item 4 --cross-cluster-successors 1 --dirichlet-alpha 0.2"}
+# Corpus v3 (round 4): successors 8->4 (cross 2->1) and Dirichlet a 0.4->0.1.
+# v1 (defaults) discriminated but capped at r@10 0.21 < the 0.30 gate floor
+# (outputs/refscale_structured/). v2 (a=0.2) cleared both recall floors at
+# refscale (0.412/0.507) but missed the NDCG floors (0.228 < 0.25,
+# 0.253 < 0.28 — outputs/refscale_v2/). a=0.1 sharpens the transition
+# weights so the true successor ranks higher: probe GT-opt 0.631 >> GAT
+# 0.477 ~ SAGE 0.467, popularity 0.078 (outputs/sweep_s4a01/results.json).
+CORPUS_ARGS=${CORPUS_ARGS:-"--successors-per-item 4 --cross-cluster-successors 1 --dirichlet-alpha 0.1"}
 
 stamp() { date +%H:%M:%S; }
 
