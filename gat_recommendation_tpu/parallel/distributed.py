@@ -145,6 +145,37 @@ def make_global_batch(local_batch, mesh, pcount: int | None = None):
     return jax.tree.map(bind, local_batch)
 
 
+def make_global_chained_batch(local_stacked, mesh, pcount: int | None = None):
+    """Bind this process's stacked [C, B_local, ...] chain group into the
+    global chained batch ([C, B_local*pcount, ...], chain axis replicated,
+    batch axis sharded over 'data').
+
+    chain_iterator's grouping is a pure function of the (deterministic)
+    epoch iteration, so every process forms the SAME chain groups and binds
+    element c of the group to the same global step — the chained sharded
+    step then runs one lax.scan over the global arrays on all processes.
+    """
+    from gat_recommendation_tpu.parallel.mesh import chained_batch_sharding
+
+    pcount = pcount if pcount is not None else jax.process_count()
+    if pcount == 1:
+        from gat_recommendation_tpu.parallel.steps import shard_chained_batch
+
+        return shard_chained_batch(local_stacked, mesh)
+    from gat_recommendation_tpu.data.batching import SessionBatch, _worth_packing, pack_adj
+
+    if isinstance(local_stacked, SessionBatch) and _worth_packing(mesh.devices.flat[0]):
+        local_stacked = pack_adj(local_stacked)
+    sharding = chained_batch_sharding(mesh)
+
+    def bind(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0], x.shape[1] * pcount) + x.shape[2:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(bind, local_stacked)
+
+
 def allgather_pytree(tree):
     """Gather per-process shards of every leaf onto all hosts (numpy out).
 

@@ -273,6 +273,10 @@ class Trainer:
         self.best_val_metric = 0.0
         self.patience_counter = 0
         self.history: dict = {"train_loss": [], "val_metrics": []}
+        # Diagnostics: how many chained (multi-step) dispatches ran. Lets
+        # tests assert the chained path actually fired (a bucket layout that
+        # never completes a group would silently run single steps).
+        self.chained_dispatches = 0
         # Cadence bookkeeping: checkpoint_every counts EVAL OCCURRENCES (save
         # on every Nth eval), so eval_every and checkpoint_every compose
         # predictably; _latest_saved_epoch lets train() backstop-save the
@@ -302,26 +306,18 @@ class Trainer:
                     self.model, self.loss_fn, self.optimizer, mesh
                 )
                 if chain > 1:
-                    if jax.process_count() == 1:
-                        from gat_recommendation_tpu.parallel.steps import (
-                            make_chained_sharded_sparse_train_step,
-                        )
+                    from gat_recommendation_tpu.parallel.steps import (
+                        make_chained_sharded_sparse_train_step,
+                    )
 
-                        self.chain = chain
-                        self._chained_step = make_chained_sharded_sparse_train_step(
-                            self.model, self.loss_fn, self.optimizer, mesh
-                        )
-                    else:
-                        # Multi-host chaining would need the chain-group's
-                        # GLOBAL GradIndexes bound per process (the stacked
-                        # local rows only cover this host). Not implemented:
-                        # say so rather than silently halving throughput.
-                        logger.warning(
-                            "chain=%d requested but multi-host chaining is "
-                            "not implemented; running unchained steps "
-                            "(per-dispatch latency applies per batch)",
-                            chain,
-                        )
+                    # Multi-host included: chain groups are identical on all
+                    # processes (deterministic iteration), local rows bind to
+                    # the global chained batch via make_global_chained_batch,
+                    # and the global GradIndexes rebuild from the metas' ids.
+                    self.chain = chain
+                    self._chained_step = make_chained_sharded_sparse_train_step(
+                        self.model, self.loss_fn, self.optimizer, mesh
+                    )
             else:
                 self._train_step = make_sharded_train_step(
                     self.model, self.loss_fn, self.optimizer, mesh
@@ -403,23 +399,34 @@ class Trainer:
             to_device,
         )
 
-        # Multi-host items carry a GlobalBatchMeta whose ids must drive the
-        # GradIndex — defensive fallback; the constructor never enables
-        # chaining under process_count > 1 (and logs why).
-        multihost = any(
-            isinstance(it, tuple) and it[1] is not None and it[1].ids is not None
-            for it in items
-        )
-        if multihost or len(items) < self.chain:
+        if len(items) < self.chain:
             return [self._transfer(it) for it in items]
+        # Multi-host items carry a GlobalBatchMeta whose ids (covering the
+        # GLOBAL batch, identical on every process) drive the GradIndex; the
+        # local rows bind into the global chained batch. Single-process mesh
+        # and single-device groups stack the local batches directly.
+        metas = [it[1] if isinstance(it, tuple) else None for it in items]
         batches = [it[0] if isinstance(it, tuple) else it for it in items]
-        gidxs = [make_grad_index(b) for b in batches]
+        multihost = all(m is not None and m.ids is not None for m in metas)
+        if multihost:
+            from gat_recommendation_tpu.data.batching import make_grad_index_from_ids
+            from gat_recommendation_tpu.parallel.distributed import (
+                make_global_chained_batch,
+            )
+
+            gidxs = stack_grad_indices([make_grad_index_from_ids(m.ids) for m in metas])
+            return (
+                "chained",
+                make_global_chained_batch(stack_batches(batches), self.mesh),
+                gidxs,
+            )
+        gidxs = stack_grad_indices([make_grad_index(b) for b in batches])
         stacked = stack_batches(batches)
         if self.mesh is not None:
             from gat_recommendation_tpu.parallel.steps import shard_chained_batch
 
-            return ("chained", shard_chained_batch(stacked, self.mesh), stack_grad_indices(gidxs))
-        return ("chained", to_device(stacked), stack_grad_indices(gidxs))
+            return ("chained", shard_chained_batch(stacked, self.mesh), gidxs)
+        return ("chained", to_device(stacked), gidxs)
 
     # -- epoch work --------------------------------------------------------
 
@@ -453,6 +460,7 @@ class Trainer:
                         params, state, opt_state, sb, sg, epoch_rng, step
                     )
                     losses.append(loss_vec)
+                    self.chained_dispatches += 1
                     step += int(sg.uid.shape[0])
                 else:  # partial group: list of single items
                     for dbatch in g:

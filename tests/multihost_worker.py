@@ -22,6 +22,7 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     coordinator, pid, outdir = sys.argv[1], int(sys.argv[2]), Path(sys.argv[3])
     engine = sys.argv[4] if len(sys.argv) > 4 else "numpy"
+    chain = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from gat_recommendation_tpu.parallel import distributed as dist
 
@@ -56,6 +57,7 @@ def main() -> None:
         seed=7,
         mesh=mesh,
         sparse_embedding_grads=True,
+        chain=chain,
     )
     params, state, opt_state = trainer.init_state()
     hist = trainer.train(params, state, opt_state)
@@ -65,6 +67,7 @@ def main() -> None:
         "train_loss": [float(x) for x in hist["train_loss"]],
         "val_metrics": hist["val_metrics"],
         "best": trainer.best_val_metric,
+        "chained_dispatches": trainer.chained_dispatches,
     }
     (outdir / f"result_{pid}.json").write_text(json.dumps(result))
     print(f"[worker {pid}] OK {result['train_loss']}")

@@ -33,13 +33,21 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("engine", ["numpy", "native"])
-def test_two_process_training_matches_single_process(tmp_path, engine):
+@pytest.mark.parametrize(
+    "engine,chain",
+    [("numpy", 1), ("native", 1), ("numpy", 2)],
+    ids=["numpy", "native", "numpy-chain2"],
+)
+def test_two_process_training_matches_single_process(tmp_path, engine, chain):
     """Both feeding engines: per-host sharded assembly + global GradIndex
     reconstruction is numerically the same program as global single-process
     iteration. The native case exercises the C engine's slot_offset global
     negative keying and the production engine="auto" resolution path
-    (VERDICT r2 weak #5)."""
+    (VERDICT r2 weak #5). The chain=2 case runs the workers through the
+    MULTI-HOST chained path (stacked local rows bound into a global chained
+    batch + global GradIndexes from the metas — parallel/distributed.py
+    make_global_chained_batch) and compares against the UNCHAINED
+    single-process run: the equivalences compose."""
     if engine == "native":
         from gat_recommendation_tpu.data import native
 
@@ -57,7 +65,7 @@ def test_two_process_training_matches_single_process(tmp_path, engine):
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
-             f"127.0.0.1:{port}", str(pid), str(tmp_path), engine],
+             f"127.0.0.1:{port}", str(pid), str(tmp_path), engine, str(chain)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in (0, 1)
@@ -81,6 +89,10 @@ def test_two_process_training_matches_single_process(tmp_path, engine):
     # outputs + allgathered eval) => consistent early-stop decisions.
     np.testing.assert_allclose(r0["train_loss"], r1["train_loss"], rtol=1e-6)
     assert r0["val_metrics"] == r1["val_metrics"]
+    if chain > 1:  # the chained path must actually have fired
+        assert r0["chained_dispatches"] > 0 and r1["chained_dispatches"] > 0, (
+            r0["chained_dispatches"], r1["chained_dispatches"],
+        )
 
     # Collective Orbax checkpoint: arrays written by both processes' shards,
     # meta.json by process 0 only.
