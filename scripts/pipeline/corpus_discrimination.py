@@ -165,7 +165,7 @@ def main() -> None:
         trainer.train(params, state, opt_state)
         r10 = [m["recall@10"] for m in trainer.history["val_metrics"]]
         best = int(np.argmax(r10))
-        hits = np.asarray(trainer.history["val_hits@10"][best], dtype=np.int8)
+        hits = np.asarray(trainer.hits[best], dtype=np.int8)
         best_hits[name] = hits
         lo, hi = bootstrap_ci(hits)
         results["models"][name] = {

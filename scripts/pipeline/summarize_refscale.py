@@ -20,6 +20,9 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+from gat_recommendation_tpu.train.hits_io import load_best_hits  # noqa: E402
+
 DISPLAY = {
     "graph_transformer_optimized": "GT optimized",
     "graph_transformer": "GT (+FFN)",
@@ -90,11 +93,9 @@ def main() -> None:
     # An ordering edge is only claimed settled when the 95% CI excludes 0.
     hits = {}
     for name in order:
-        hist = json.loads((args.study_dir / name / "history.json").read_text())
-        hv = hist.get("val_hits@10")
-        if hv:
-            best = rows[name]["best_epoch"]
-            hits[name] = np.asarray(hv[best], dtype=np.float64)
+        hv = load_best_hits(args.study_dir / name, rows[name]["best_epoch"], k=10)
+        if hv is not None:
+            hits[name] = np.asarray(hv, dtype=np.float64)
     if len(hits) >= 2:
         rng = np.random.default_rng(0)
         print("\nadjacent ordering margins (paired bootstrap, 95% CI):")
@@ -104,8 +105,13 @@ def main() -> None:
                 print(f"  {a} - {b}: hit vectors differ in length, skipped")
                 continue
             diff = hits[a] - hits[b]
-            idx = rng.integers(0, len(diff), size=(2000, len(diff)))
-            margins = diff[idx].mean(axis=1)
+            # Chunked resampling: a one-shot (2000, n) int64 index matrix is
+            # multi-GB at reference-scale val counts (ADVICE r4); 100-resample
+            # chunks with the same RNG stream give identical margins.
+            margins = np.concatenate([
+                diff[rng.integers(0, len(diff), size=(chunk, len(diff)))].mean(axis=1)
+                for chunk in [100] * 20
+            ])
             lo, hi = np.quantile(margins, [0.025, 0.975])
             tag = "SETTLED" if lo > 0 or hi < 0 else "UNRESOLVED (CI contains 0)"
             print(

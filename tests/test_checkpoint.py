@@ -112,3 +112,105 @@ def test_restore_params_state_legacy_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(p2["item_embedding"]), np.asarray(params["item_embedding"])
     )
+
+
+def test_hits_io_roundtrip(tmp_path):
+    """Packed-bit hit storage: ragged rows and None (unknown) rows survive."""
+    from gat_recommendation_tpu.train.hits_io import load_hits, save_hits
+
+    rows = [
+        np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=np.int8),
+        None,
+        np.array([0, 1], dtype=np.int8),
+        np.zeros(0, dtype=np.int8),
+    ]
+    save_hits(tmp_path / "h.npz", rows)
+    back = load_hits(tmp_path / "h.npz")
+    assert back[1] is None
+    np.testing.assert_array_equal(back[0], rows[0])
+    np.testing.assert_array_equal(back[2], rows[2])
+    assert len(back[3]) == 0
+
+
+def _tiny_dataset(seed=3):
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import SessionDataset
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(30):
+        for t in range(int(rng.integers(3, 8))):
+            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 40))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    edges = (rng.integers(1, 40, 80), rng.integers(1, 40, 80))
+    return SessionDataset(df, edges)
+
+
+def test_record_hits_sidecar_not_in_history(tmp_path):
+    """record_hits persists packed bits in hits_k10.npz; history.json stays
+    hit-free (VERDICT r4 weak #4: 14 MB JSON int lists per run)."""
+    from gat_recommendation_tpu.data.batching import iterate_batches
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.train.hits_io import load_hits
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    ds = _tiny_dataset()
+    model = create_model("graphsage", num_items=ds.num_items, embedding_dim=8, hidden_dim=8, dropout=0.0)
+    trainer = Trainer(
+        model,
+        train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+        val_batches=lambda: iterate_batches(ds, 8),
+        output_dir=tmp_path,
+        max_epochs=3,
+        eval_every=1,
+        record_hits=True,
+    )
+    history = trainer.train()
+    assert not any(k.startswith("val_hits") for k in history)
+    hist_on_disk = json.loads((tmp_path / "history.json").read_text())
+    assert not any(k.startswith("val_hits") for k in hist_on_disk)
+    rows = load_hits(tmp_path / "hits_k10.npz")
+    assert len(rows) == len(history["val_metrics"])
+    n_val = len(rows[0])
+    # recall@10 recomputed from the stored bits must match the history value.
+    for row, m in zip(rows, history["val_metrics"]):
+        assert len(row) == n_val
+        assert float(row.mean()) == pytest.approx(m["recall@10"], abs=1e-6)
+
+
+def test_record_hits_resume_alignment(tmp_path):
+    """Resume from a checkpoint written WITHOUT record_hits: the hits list
+    pads with None so row i still aligns with val_metrics[i] (ADVICE r4)."""
+    from gat_recommendation_tpu.data.batching import iterate_batches
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.train.hits_io import load_hits
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    ds = _tiny_dataset()
+
+    def make_trainer(record_hits, max_epochs):
+        model = create_model(
+            "graphsage", num_items=ds.num_items, embedding_dim=8, hidden_dim=8, dropout=0.0
+        )
+        return Trainer(
+            model,
+            train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+            val_batches=lambda: iterate_batches(ds, 8),
+            output_dir=tmp_path,
+            max_epochs=max_epochs,
+            eval_every=1,
+            record_hits=record_hits,
+        )
+
+    make_trainer(False, 2).train()
+    t2 = make_trainer(True, 4)
+    history = t2.train(resume=True)
+    assert len(history["val_metrics"]) == 4
+    rows = load_hits(tmp_path / "hits_k10.npz")
+    assert len(rows) == 4
+    assert rows[0] is None and rows[1] is None
+    for i in (2, 3):
+        assert float(rows[i].mean()) == pytest.approx(
+            history["val_metrics"][i]["recall@10"], abs=1e-6
+        )
