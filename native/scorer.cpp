@@ -80,17 +80,22 @@ static inline int32_t dot_u8s8(const uint8_t* u, const int8_t* s, int32_t D) {
   for (; d < D; ++d) r += (int32_t)u[d] * (int32_t)s[d];
   return r;
 #elif defined(__AVX2__)
-  // maddubs: u8 x s8 -> pairwise i16 sums; i16 can overflow only if both
-  // pair products are near-max (255*127*2 > 32767) — possible, so widen
-  // via madd with ones.
+  // maddubs would be 1 uop/32B but its pairwise u8*s8 sums SATURATE at i16
+  // (a pair of 255*127 products reaches 64770 > 32767), silently
+  // underestimating exactly the highest-scoring rows (ADVICE r4). Widen
+  // both operands to i16 first: madd_epi16 products and pair sums are
+  // exact in i32 (max |pair| = 2*255*127 << 2^31).
   __m256i acc = _mm256_setzero_si256();
-  const __m256i ones = _mm256_set1_epi16(1);
   int32_t d = 0;
   for (; d + 32 <= D; d += 32) {
     __m256i a = _mm256_loadu_si256((const __m256i*)(u + d));
     __m256i b = _mm256_loadu_si256((const __m256i*)(s + d));
-    __m256i p = _mm256_maddubs_epi16(a, b);      // 16 x i16 (saturating!)
-    acc = _mm256_add_epi32(acc, _mm256_madd_epi16(p, ones));
+    __m256i alo = _mm256_cvtepu8_epi16(_mm256_castsi256_si128(a));
+    __m256i ahi = _mm256_cvtepu8_epi16(_mm256_extracti128_si256(a, 1));
+    __m256i blo = _mm256_cvtepi8_epi16(_mm256_castsi256_si128(b));
+    __m256i bhi = _mm256_cvtepi8_epi16(_mm256_extracti128_si256(b, 1));
+    acc = _mm256_add_epi32(acc, _mm256_madd_epi16(alo, blo));
+    acc = _mm256_add_epi32(acc, _mm256_madd_epi16(ahi, bhi));
   }
   alignas(32) int32_t lanes[8];
   _mm256_store_si256((__m256i*)lanes, acc);

@@ -73,3 +73,41 @@ def test_thread_count_invariance(quantized):
         for t in (1, 2, 4)
     ]
     assert results[0] == results[1] == results[2]
+
+
+@pytest.mark.parametrize("variant", ["default", "avx2"])
+def test_adversarial_saturation_avx2(variant):
+    """Max-magnitude query x max-magnitude rows with L << V.
+
+    ADVICE r4 (medium): the AVX2 fallback used _mm256_maddubs_epi16, whose
+    pairwise u8*s8 sums saturate at i16 (+-32767). With the session biased
+    to u8 (255 at the query's largest coordinates) and rows at +-127, a
+    pair sum reaches 2*255*127 = 64770 — exactly the high-scoring rows get
+    silently underestimated and can drop out of the candidate set. The
+    'avx2' variant builds the scorer with -mavx2 -mno-avx512f so the
+    fallback is exercised even on VNNI hosts.
+    """
+    if variant == "avx2":
+        lib = native.load_scorer_variant("libbatcher_avx2.so")
+        if lib is None:
+            pytest.skip("no toolchain for the AVX2-pinned build")
+    else:
+        lib = None
+    rng = np.random.default_rng(7)
+    V_, D_ = 1000, 64
+    table = 0.05 * rng.standard_normal((V_, D_)).astype(np.float32)
+    hot = [3, 500, 997]  # saturation-triggering rows, scattered across threads
+    for i in hot:
+        table[i] = 1.0  # quantizes to +127 everywhere
+    q, scale, rowsum = native.quantize_table(table, lib=lib)
+    sess = np.ones(D_, np.float32)  # quantizes to +127, biased u8 = 255
+    idx, approx = native.score_int8_topl(q, scale, rowsum, sess, 8, lib=lib)
+    # The hot rows are by construction the three highest-scoring rows; a
+    # saturating scan underestimates them ~127x and drops them from top-8.
+    assert set(hot) <= set(idx.tolist()), idx
+    # Approximate scores must equal the exact int8 arithmetic (no rounding
+    # beyond quantization itself: the dots are small exact integers in f32).
+    sess_q = np.full(D_, 127, np.int64)
+    exact_int = (q[idx].astype(np.int64) * sess_q).sum(axis=1)
+    expect = scale[idx] * (1.0 / 127.0) * exact_int
+    np.testing.assert_allclose(approx, expect, rtol=1e-5)
