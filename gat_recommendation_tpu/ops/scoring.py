@@ -61,6 +61,42 @@ def dense_topk(session_embeddings, item_embeddings, k, num_items=None):
     return s, i.astype(jnp.int32)
 
 
+def two_level_topk_scores(scores, k: int, chunk: int = DEFAULT_CHUNK):
+    """Exact top-k over a PRECOMPUTED [B, V] score matrix.
+
+    Same algorithm and tie semantics as two_level_topk (module docstring);
+    columns are -inf-padded to a chunk multiple, so any V works. Used
+    standalone and as the shard-local phase of parallel/topk.sharded_topk,
+    where V = shard_rows (466k/8 = 58k and up — well past the dense-sort
+    crossover). Falls back to lax.top_k for small V.
+    """
+    B, V = scores.shape
+    if V < MIN_ROWS_FOR_TWO_LEVEL or V // chunk < k:
+        s, i = jax.lax.top_k(scores, k)
+        return s, i.astype(jnp.int32)
+    pad = (-V) % chunk
+    if pad:
+        # -inf tail columns: never outrank a finite score, and sit at the
+        # highest indices so the lowest-index tie-break is unaffected.
+        scores = jnp.concatenate(
+            [scores, jnp.full((B, pad), -jnp.inf, scores.dtype)], axis=1
+        )
+    NC = scores.shape[1] // chunk
+    chunked = scores.reshape(B, NC, chunk)
+    maxes = chunked.max(axis=-1)  # [B, NC]
+    _, top_chunks = jax.lax.top_k(maxes, k)  # [B, k]
+    # Ascending chunk order => candidate positions ascend in global index,
+    # making the level-2 tie-break identical to dense lax.top_k (see module
+    # docstring). Membership is unaffected; the sort of k ints is free.
+    top_chunks = jnp.sort(top_chunks, axis=1)
+    cand = jnp.take_along_axis(chunked, top_chunks[:, :, None], axis=1)
+    cand = cand.reshape(B, k * chunk)
+    base = top_chunks[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    base = base.reshape(B, k * chunk)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(base, pos, axis=1).astype(jnp.int32)
+
+
 def two_level_topk(
     session_embeddings,
     item_embeddings,
@@ -75,25 +111,10 @@ def two_level_topk(
     always divide), or has fewer than k chunks.
     """
     V = item_embeddings.shape[0]
-    NC = V // chunk
-    if V < MIN_ROWS_FOR_TWO_LEVEL or V % chunk or NC < k:
+    if V < MIN_ROWS_FOR_TWO_LEVEL or V % chunk or V // chunk < k:
         return dense_topk(session_embeddings, item_embeddings, k, num_items)
-
-    B = session_embeddings.shape[0]
     scores = _masked_scores(session_embeddings, item_embeddings, num_items)
-    chunked = scores.reshape(B, NC, chunk)
-    maxes = chunked.max(axis=-1)  # [B, NC]
-    _, top_chunks = jax.lax.top_k(maxes, k)  # [B, k]
-    # Ascending chunk order => candidate positions ascend in global index,
-    # making the level-2 tie-break identical to dense lax.top_k (see module
-    # docstring). Membership is unaffected; the sort of k ints is free.
-    top_chunks = jnp.sort(top_chunks, axis=1)
-    cand = jnp.take_along_axis(chunked, top_chunks[:, :, None], axis=1)
-    cand = cand.reshape(B, k * chunk)
-    base = top_chunks[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
-    base = base.reshape(B, k * chunk)
-    s, pos = jax.lax.top_k(cand, k)
-    return s, jnp.take_along_axis(base, pos, axis=1).astype(jnp.int32)
+    return two_level_topk_scores(scores, k, chunk)
 
 
 def approx_topk(

@@ -49,6 +49,8 @@ def sharded_topk(
         check_vma=False,
     )
     def _topk(sess_local, table_local):
+        from gat_recommendation_tpu.ops.scoring import two_level_topk_scores
+
         scores = jnp.dot(
             sess_local, table_local.T, preferred_element_type=jnp.float32
         )  # [b, shard_rows]
@@ -56,7 +58,12 @@ def sharded_topk(
         col_global = offset + jax.lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
         scores = jnp.where(col_global < V, scores, -jnp.inf)  # phantom pad rows
         k_local = min(k, shard_rows)  # a shard can't contribute more rows than it holds
-        local_vals, local_idx = jax.lax.top_k(scores, k_local)
+        # Shard-local phase via the exact two-level chunk-max selector:
+        # shard rows are a CONTIGUOUS global index range, so its
+        # lowest-local-index tie-break equals the lowest-global-index
+        # tie-break the merge relies on. 3-4x over a dense lax.top_k sort
+        # at 58k rows/shard (docs/PERFORMANCE.md "Eval scoring").
+        local_vals, local_idx = two_level_topk_scores(scores, k_local)
         local_idx = local_idx + offset
         # Gather k candidates from every model shard: [b, mp*k].
         all_vals = jax.lax.all_gather(local_vals, "model", axis=1, tiled=True)

@@ -49,3 +49,24 @@ def test_sharded_eval_step_v2():
     mesh = make_mesh(4, 2)
     v2 = np.asarray(make_sharded_eval_step_v2(model, 10, mesh)(params, state, batch))
     np.testing.assert_array_equal(dense, v2)
+
+
+@pytest.mark.parametrize("V,k,mesh_shape", [(1000, 10, (1, 8)), (1224, 7, (2, 4))])
+def test_sharded_topk_two_level_local_phase(V, k, mesh_shape, monkeypatch):
+    """Shard-local phase through the two-level selector (VERDICT r4 next
+    #8): shard rows here are NOT divisible by the 32-wide chunk, so the
+    -inf column padding inside two_level_topk_scores is exercised, and
+    integer scores force cross-shard ties — must still match dense."""
+    from gat_recommendation_tpu.ops import scoring
+
+    monkeypatch.setattr(scoring, "MIN_ROWS_FOR_TWO_LEVEL", 64)
+    rng = np.random.default_rng(9)
+    B, D = 6, 8
+    sess = jnp.asarray(rng.integers(-2, 3, size=(B, D)), jnp.float32)
+    table = jnp.asarray(rng.integers(-2, 3, size=(V, D)), jnp.float32)
+    mesh = make_mesh(*mesh_shape)
+    idx, vals = sharded_topk(sess, table, k, mesh)
+    scores = jnp.asarray(np.asarray(sess) @ np.asarray(table).T)
+    ref_vals, ref_idx = jax.lax.top_k(scores, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)

@@ -104,3 +104,17 @@ def test_dispatch_rejects_unknown():
     sess, table = make(128)
     with pytest.raises(ValueError):
         scoring.full_catalog_topk(sess, table, 5, method="nope")
+
+
+@pytest.mark.parametrize("V", [1000, 4096, 4100])  # 1000, 4100: -inf pad path
+def test_two_level_scores_variant_matches_dense(V):
+    """two_level_topk_scores (precomputed score matrix, any V via -inf
+    column padding) == lax.top_k, including random-tie tie-breaks."""
+    rng = np.random.default_rng(5)
+    scores = jnp.asarray(rng.integers(0, 50, size=(6, V)), jnp.float32)  # many ties
+    import jax
+
+    want_s, want_i = jax.lax.top_k(scores, 10)
+    got_s, got_i = scoring.two_level_topk_scores(scores, 10, chunk=32)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
