@@ -68,7 +68,7 @@ def make_corpus(num_sessions: int, num_items: int = NUM_ITEMS, seed: int = 0):
     return ds, stats
 
 
-def make_training(num_items: int = NUM_ITEMS):
+def make_training(num_items: int = NUM_ITEMS, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -98,12 +98,29 @@ def make_training(num_items: int = NUM_ITEMS):
     # with host-precomputed duplicate grouping — see docs/PERFORMANCE.md.
     optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)  # auto: Pallas on TPU
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        # --mesh mode: the same math through the mesh-sharded dispatch
+        # wrappers (parallel/steps.py). On a 1x1 mesh this measures the
+        # sharding machinery's pure overhead vs the unsharded step
+        # (docs/PARALLELISM.md "Measured per-step collective traffic").
+        from gat_recommendation_tpu.parallel.steps import (
+            make_chained_sharded_sparse_train_step,
+            make_sharded_sparse_train_step,
+            shard_params,
+        )
+
+        params, state, opt_state = shard_params(params, state, opt_state, mesh)
+        step = make_sharded_sparse_train_step(model, dual_loss, optimizer, mesh)
+        chained = make_chained_sharded_sparse_train_step(model, dual_loss, optimizer, mesh)
+        return model, params, state, opt_state, step, chained
     step = make_sparse_train_step(model, dual_loss, optimizer, donate=True)
     chained = make_chained_sparse_train_step(model, dual_loss, optimizer, donate=True)
     return model, params, state, opt_state, step, chained
 
 
-def main_e2e(num_sessions: int, workers: int, epochs_long: int, chain: int = 1) -> dict:
+def main_e2e(
+    num_sessions: int, workers: int, epochs_long: int, chain: int = 1, mesh_shape=None
+) -> dict:
     import jax
 
     from gat_recommendation_tpu.data.batching import (
@@ -120,16 +137,27 @@ def main_e2e(num_sessions: int, workers: int, epochs_long: int, chain: int = 1) 
     ds, stats = make_corpus(num_sessions)
     setup_s = time.perf_counter() - t0
 
-    model, params, state, opt_state, step, chained_step = make_training()
+    mesh = None
+    if mesh_shape is not None:
+        from gat_recommendation_tpu.parallel.mesh import make_mesh
+        from gat_recommendation_tpu.parallel.steps import shard_batch, shard_chained_batch
+
+        mesh = make_mesh(*mesh_shape)
+    model, params, state, opt_state, step, chained_step = make_training(mesh=mesh)
     rng = jax.random.key(0)
 
-    transfer = lambda hb: (to_device(hb), make_grad_index(hb))  # noqa: E731
+    if mesh is not None:
+        transfer = lambda hb: (shard_batch(hb, mesh), make_grad_index(hb))  # noqa: E731
+    else:
+        transfer = lambda hb: (to_device(hb), make_grad_index(hb))  # noqa: E731
 
     def transfer_group(items):
         if len(items) < chain:
             return [transfer(b) for b in items]
         gidxs = [make_grad_index(b) for b in items]
-        return ("chained", to_device(stack_batches(items)), stack_grad_indices(gidxs))
+        stacked = stack_batches(items)
+        staged = shard_chained_batch(stacked, mesh) if mesh is not None else to_device(stacked)
+        return ("chained", staged, stack_grad_indices(gidxs))
 
     def run_epochs(n_epochs, seed0):
         nonlocal params, state, opt_state
@@ -180,7 +208,8 @@ def main_e2e(num_sessions: int, workers: int, epochs_long: int, chain: int = 1) 
     per_epoch = (t_long - t_short) / epochs_long
     sessions_per_sec = len(ds) / per_epoch
     return {
-        "metric": "train_sessions_per_sec_per_chip_e2e",
+        "metric": "train_sessions_per_sec_per_chip_e2e"
+        + (f"_mesh{mesh_shape[0]}x{mesh_shape[1]}" if mesh_shape else ""),
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -292,11 +321,16 @@ def main():
     p.add_argument("--epochs", type=int, default=3, help="slope window (e2e)")
     p.add_argument("--chain", type=int, default=32,
                    help="optimizer steps per dispatch (lax.scan; 1 = unchained)")
+    p.add_argument("--mesh", default=None,
+                   help="DATAxMODEL (e.g. 1x1, 4x2): run e2e through the "
+                        "mesh-sharded steps; 1x1 measures sharding overhead "
+                        "on one real chip")
     args = p.parse_args()
+    mesh_shape = tuple(int(x) for x in args.mesh.split("x")) if args.mesh else None
     result = (
         main_device()
         if args.device
-        else main_e2e(args.sessions, args.workers, args.epochs, args.chain)
+        else main_e2e(args.sessions, args.workers, args.epochs, args.chain, mesh_shape)
     )
     detail = result.pop("_detail", None)
     if detail is not None:

