@@ -33,6 +33,9 @@ data: ## Synthetic data -> sessions -> splits -> graph
 	$(PYTHON) scripts/data/04_build_graph.py --input-file $(DATA_DIR)/processed/train.csv \
 		--output-file $(DATA_DIR)/processed/graph_edges.csv --stats-file $(DATA_DIR)/processed/graph_stats.json
 
+data-refscale: ## Rebuild the reference-scale corpus (sha256-verified, ~30 s)
+	$(PYTHON) scripts/data/regen_refscale.py --check
+
 data-retailrocket: ## Download RetailRocket (requires Kaggle credentials)
 	$(PYTHON) scripts/data/01_download_retailrocket.py --output-dir $(DATA_DIR)/raw
 
