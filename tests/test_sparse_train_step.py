@@ -154,3 +154,44 @@ def test_trainer_sparse_mode_matches_dense_metrics(tmp_path):
     a, b = results[False]["val_metrics"][-1], results[True]["val_metrics"][-1]
     for key in a:
         np.testing.assert_allclose(a[key], b[key], atol=5e-3, err_msg=key)
+
+
+def test_mixed_chain_group_fails_loudly(tmp_path):
+    """A chain group mixing (batch, meta) multi-host items with plain
+    batches must raise, not silently build GradIndexes from LOCAL batches
+    (ADVICE r4: that would train with wrong global sparse updates)."""
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import (
+        GlobalBatchMeta,
+        SessionDataset,
+        iterate_batches,
+    )
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for s in range(20):
+        for t in range(int(rng.integers(3, 8))):
+            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 40))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    ds = SessionDataset(df, (rng.integers(1, 40, 60), rng.integers(1, 40, 60)))
+    model = create_model("graphsage", num_items=ds.num_items, embedding_dim=8, hidden_dim=8)
+    trainer = Trainer(
+        model,
+        train_batches=lambda e: iterate_batches(ds, 8),
+        val_batches=lambda: iterate_batches(ds, 8),
+        output_dir=tmp_path,
+        sparse_embedding_grads=True,
+        chain=2,
+    )
+    batches = list(iterate_batches(ds, 8))[:2]
+    meta = GlobalBatchMeta(
+        targets=np.asarray(batches[0].targets),
+        sample_mask=np.asarray(batches[0].sample_mask),
+        ids=np.arange(10, dtype=np.int32),
+    )
+    mixed = [(batches[0], meta), batches[1]]
+    with pytest.raises(AssertionError, match="homogeneous"):
+        trainer._transfer_chain(mixed)
