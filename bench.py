@@ -110,8 +110,10 @@ def make_training(num_items: int = NUM_ITEMS, mesh=None):
         )
 
         params, state, opt_state = shard_params(params, state, opt_state, mesh)
-        step = make_sharded_sparse_train_step(model, dual_loss, optimizer, mesh)
-        chained = make_chained_sharded_sparse_train_step(model, dual_loss, optimizer, mesh)
+        step = make_sharded_sparse_train_step(model, dual_loss, optimizer, mesh, donate=True)
+        chained = make_chained_sharded_sparse_train_step(
+            model, dual_loss, optimizer, mesh, donate=True
+        )
         return model, params, state, opt_state, step, chained
     step = make_sparse_train_step(model, dual_loss, optimizer, donate=True)
     chained = make_chained_sparse_train_step(model, dual_loss, optimizer, donate=True)

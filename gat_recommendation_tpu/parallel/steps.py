@@ -24,7 +24,7 @@ from gat_recommendation_tpu.parallel.mesh import (
 )
 
 
-def make_sharded_train_step(model, loss_fn, optimizer, mesh) -> Callable:
+def make_sharded_train_step(model, loss_fn, optimizer, mesh, donate: bool = False) -> Callable:
     """Jitted (params, state, opt_state, batch, rng) -> (params, state, opt_state, loss)."""
 
     def loss_and_state(params, state, batch, rng):
@@ -55,13 +55,14 @@ def make_sharded_train_step(model, loss_fn, optimizer, mesh) -> Callable:
                 step,
                 in_shardings=(ps, ss, os_, bs, replicated(mesh)),
                 out_shardings=(ps, ss, os_, replicated(mesh)),
+                donate_argnums=(0, 1, 2) if donate else (),
             )
         return compiled["step"](params, state, opt_state, batch, rng)
 
     return sharded_step
 
 
-def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
+def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh, donate: bool = False) -> Callable:
     """Sharded variant of trainer.make_sparse_train_step.
 
     Same math (sparse embedding gradients + scatter-first AdamW); GSPMD
@@ -100,13 +101,14 @@ def make_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
                 step,
                 in_shardings=(ps, ss, os_, bs, gs, replicated(mesh)),
                 out_shardings=(ps, ss, os_, replicated(mesh)),
+                donate_argnums=(0, 1, 2) if donate else (),
             )
         return compiled["step"](params, state, opt_state, batch, gidx, rng)
 
     return sharded_step
 
 
-def make_chained_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> Callable:
+def make_chained_sharded_sparse_train_step(model, loss_fn, optimizer, mesh, donate: bool = False) -> Callable:
     """Sharded sparse step that runs C optimizer steps in ONE dispatch.
 
     Mesh twin of trainer.make_chained_sparse_train_step: the stacked batch
@@ -153,6 +155,7 @@ def make_chained_sharded_sparse_train_step(model, loss_fn, optimizer, mesh) -> C
                     ps, ss, os_, cbs, gs, replicated(mesh), replicated(mesh),
                 ),
                 out_shardings=(ps, ss, os_, replicated(mesh)),
+                donate_argnums=(0, 1, 2) if donate else (),
             )
         return compiled["step"](
             params, state, opt_state, batches, gidxs, epoch_rng, step0

@@ -307,8 +307,12 @@ class Trainer:
             from gat_recommendation_tpu.parallel.topk import make_sharded_eval_step_v2
 
             if self.sparse_embedding_grads:
+                # donate=True as on the single-device path: without aliasing
+                # the ~1.9 GB params/moments in place, every dispatch copies
+                # the optimizer tree — measured 19% e2e on a 1x1 mesh
+                # (docs/PERFORMANCE.md "Sharding overhead").
                 self._train_step = make_sharded_sparse_train_step(
-                    self.model, self.loss_fn, self.optimizer, mesh
+                    self.model, self.loss_fn, self.optimizer, mesh, donate=True
                 )
                 if chain > 1:
                     from gat_recommendation_tpu.parallel.steps import (
@@ -321,11 +325,11 @@ class Trainer:
                     # and the global GradIndexes rebuild from the metas' ids.
                     self.chain = chain
                     self._chained_step = make_chained_sharded_sparse_train_step(
-                        self.model, self.loss_fn, self.optimizer, mesh
+                        self.model, self.loss_fn, self.optimizer, mesh, donate=True
                     )
             else:
                 self._train_step = make_sharded_train_step(
-                    self.model, self.loss_fn, self.optimizer, mesh
+                    self.model, self.loss_fn, self.optimizer, mesh, donate=True
                 )
             # Explicit two-phase distributed top-k, NOT the GSPMD-partitioned
             # dense top_k: letting GSPMD choose all-gathers the full [B, V]
