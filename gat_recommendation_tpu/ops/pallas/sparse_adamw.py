@@ -44,8 +44,22 @@ def supports(rows: int, num_unique_slots: int, dim: int, n_shards: int = 1) -> b
     )
 
 
-def _kernel(lr, b1, b2, eps, wd,
-            offs_ref, bc_ref, base_ref, uid_ref, summed_ref,
+def _sr_bf16(x, rbits):
+    """Stochastically round f32 `x` to bf16 with uint32 random bits (the
+    in-kernel twin of ops/rounding.stochastic_round_bf16): add a uniform
+    16-bit integer to the f32 bit pattern, truncate the low 16 — the carry
+    promotes with probability equal to the discarded fraction, making the
+    stored moment an unbiased estimator. RNE storage stalls nu's
+    0.1%-relative increments below the bf16 ulp (docs/EXPERIMENTS.md
+    'bf16 optimizer-moments study')."""
+    bits = pltpu.bitcast(x, jnp.uint32)
+    r = pltpu.bitcast(rbits, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + r) & jnp.uint32(0xFFFF0000)
+    return pltpu.bitcast(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+def _kernel(lr, b1, b2, eps, wd, sr,
+            offs_ref, bc_ref, base_ref, seed_ref, uid_ref, summed_ref,
             table_ref, mu_ref, nu_ref,
             out_table_ref, out_mu_ref, out_nu_ref,
             mu_scratch, nu_scratch):
@@ -79,8 +93,18 @@ def _kernel(lr, b1, b2, eps, wd,
     inv_bc2 = bc_ref[1]
     mu = b1 * mu_scratch[:]
     nu = b2 * nu_scratch[:]
-    out_mu_ref[:] = mu.astype(out_mu_ref.dtype)
-    out_nu_ref[:] = nu.astype(out_nu_ref.dtype)
+    if sr:
+        # Per-(step, global tile) stream: seed carries the step count, the
+        # tile term keeps shards/tiles decorrelated. Bits are generated in
+        # VMEM — the SR costs zero extra HBM traffic.
+        # Knuth multiplicative hash (2654435761 as wrapped int32) keeps
+        # tile/shard streams decorrelated from the step stream.
+        pltpu.prng_seed(seed_ref[0] + (base + i * TILE) * jnp.int32(-1640531535))
+        out_mu_ref[:] = _sr_bf16(mu, pltpu.prng_random_bits(mu.shape))
+        out_nu_ref[:] = _sr_bf16(nu, pltpu.prng_random_bits(nu.shape))
+    else:
+        out_mu_ref[:] = mu.astype(out_mu_ref.dtype)
+        out_nu_ref[:] = nu.astype(out_nu_ref.dtype)
     mu_hat = mu * inv_bc1
     nu_hat = nu * inv_bc2
     out_table_ref[:] = table_ref[:] - lr * (
@@ -102,6 +126,7 @@ def fused_sparse_adamw(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     row_offset: jax.Array | int = 0,
+    stochastic_rounding: bool = False,
     interpret: bool = False,
 ):
     """One-pass AdamW with sparse contributions. Returns (table', mu', nu').
@@ -111,10 +136,15 @@ def fused_sparse_adamw(
     global ids (sharded_fused_sparse_adamw). uid entries outside
     [row_offset, row_offset + rows) fall into empty searchsorted slices and
     never touch a tile.
+
+    stochastic_rounding: store bf16 moments via in-kernel SR (see _sr_bf16)
+    instead of round-to-nearest. Requires bf16 mu/nu.
     """
     rows, dim = table.shape
     assert rows % TILE == 0, f"table rows {rows} must be a multiple of {TILE}"
     num_tiles = rows // TILE
+    if stochastic_rounding:
+        assert mu.dtype == jnp.bfloat16 and nu.dtype == jnp.bfloat16
 
     base = jnp.asarray(row_offset, jnp.int32)
     tile_starts = base + jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE
@@ -124,8 +154,11 @@ def fused_sparse_adamw(
     bc = jnp.stack(
         [1.0 / (1.0 - b1**c), 1.0 / (1.0 - b2**c)]
     ).astype(jnp.float32)
+    seed = jnp.asarray(count, jnp.int32).reshape(1)  # per-step SR stream
 
-    kernel = functools.partial(_kernel, lr, b1, b2, eps, weight_decay)
+    kernel = functools.partial(
+        _kernel, lr, b1, b2, eps, weight_decay, stochastic_rounding
+    )
     tile_spec = lambda: pl.BlockSpec(  # noqa: E731
         (TILE, dim), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
@@ -134,7 +167,7 @@ def fused_sparse_adamw(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             full(uid2d.shape),
@@ -159,10 +192,10 @@ def fused_sparse_adamw(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # args: offs(0) bc(1) base(2) uid(3) summed(4) table(5) mu(6) nu(7)
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        # args: offs(0) bc(1) base(2) seed(3) uid(4) summed(5) table(6) mu(7) nu(8)
+        input_output_aliases={6: 0, 7: 1, 8: 2},
         interpret=interpret,
-    )(offs, bc, base.reshape(1), uid2d, summed, table, mu, nu)
+    )(offs, bc, base.reshape(1), seed, uid2d, summed, table, mu, nu)
 
 
 def sharded_fused_sparse_adamw(
@@ -179,6 +212,7 @@ def sharded_fused_sparse_adamw(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    stochastic_rounding: bool = False,
     interpret: bool = False,
 ):
     """The fused kernel under a ('data','model') mesh (VERDICT r1 next #4).
@@ -204,7 +238,8 @@ def sharded_fused_sparse_adamw(
         return fused_sparse_adamw(
             t, m, n, u, s, c,
             lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
-            row_offset=shard * rows_per_shard, interpret=interpret,
+            row_offset=shard * rows_per_shard,
+            stochastic_rounding=stochastic_rounding, interpret=interpret,
         )
 
     return shard_map(

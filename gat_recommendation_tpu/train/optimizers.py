@@ -33,13 +33,20 @@ class FusedEmbeddingAdamW:
         weight_decay: float = 0.0,
         use_pallas: bool | None = None,
         moment_dtype=None,
+        stochastic_rounding: bool | None = None,
     ):
         """moment_dtype: storage dtype for the table's mu/nu buffers.
         Default None keeps the table dtype (f32, exact reference-AdamW
         semantics). jnp.bfloat16 halves the moment HBM traffic in the
-        update tail (compute stays f32, storage rounds to bf16) — an
-        approximation; see docs/PERFORMANCE.md for the measured quality
-        impact before enabling."""
+        update tail (compute stays f32, storage rounds to bf16).
+
+        stochastic_rounding: how bf16 moments are stored. Default (None)
+        resolves to True whenever moment_dtype is narrower than f32:
+        round-to-nearest silently stalls the second moment (its per-step
+        increment is 0.1% of the running value — below a bf16 ulp) and
+        collapsed quality by 17 points at reference scale
+        (docs/EXPERIMENTS.md); unbiased stochastic rounding recovers it.
+        Pass False only to reproduce the collapse for ablation."""
         self.lr = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
@@ -47,6 +54,11 @@ class FusedEmbeddingAdamW:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.moment_dtype = moment_dtype
+        if stochastic_rounding is None:
+            stochastic_rounding = (
+                moment_dtype is not None and moment_dtype != jnp.float32
+            )
+        self.stochastic_rounding = stochastic_rounding
         self._rest = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                                  weight_decay=weight_decay)
 
@@ -125,19 +137,20 @@ class FusedEmbeddingAdamW:
         ):
             # Single-pass Pallas kernel: one HBM round-trip over
             # table/mu/nu (the traffic floor) instead of the XLA path's two.
+            sr = self.stochastic_rounding and state["emb_mu"].dtype == jnp.bfloat16
             if mesh is not None:
                 # shard_map over 'model' row shards: each shard locates its
                 # own rows in the ascending (global-id) uid — no collectives.
                 new_table, mu, nu = sk.sharded_fused_sparse_adamw(
                     table, state["emb_mu"], state["emb_nu"], uid, summed, count,
                     mesh, lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
-                    weight_decay=self.weight_decay,
+                    weight_decay=self.weight_decay, stochastic_rounding=sr,
                 )
             else:
                 new_table, mu, nu = sk.fused_sparse_adamw(
                     table, state["emb_mu"], state["emb_nu"], uid, summed, count,
                     lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
-                    weight_decay=self.weight_decay,
+                    weight_decay=self.weight_decay, stochastic_rounding=sr,
                 )
         else:
             # mode="drop": sentinel-padded tail slots (UID_SENTINEL, out of
@@ -159,8 +172,17 @@ class FusedEmbeddingAdamW:
             new_table = table - self.lr * (
                 mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * table
             )
-            mu = mu.astype(mdt)
-            nu = nu.astype(mdt)
+            if self.stochastic_rounding and mdt == jnp.bfloat16:
+                # Unbiased low-precision store (see ops/rounding.py): RNE
+                # stalls nu's 0.1%-relative increments below the bf16 ulp.
+                from gat_recommendation_tpu.ops.rounding import stochastic_round_bf16
+
+                key = jax.random.fold_in(jax.random.key(20240817), count)
+                mu = stochastic_round_bf16(mu, jax.random.fold_in(key, 0))
+                nu = stochastic_round_bf16(nu, jax.random.fold_in(key, 1))
+            else:
+                mu = mu.astype(mdt)
+                nu = nu.astype(mdt)
 
         upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
         new_rest = optax.apply_updates(p_rest, upd)
