@@ -77,8 +77,12 @@ def parse_args():
                         "ordering margins (summarize_refscale.py)")
     p.add_argument("--bf16-moments", action="store_true",
                    help="store the embedding-table AdamW moments in bfloat16 "
-                        "(halves moment HBM traffic; quality impact measured in "
-                        "docs/PERFORMANCE.md)")
+                        "with stochastic rounding (halves moment HBM traffic; "
+                        "quality measured in docs/PERFORMANCE.md)")
+    p.add_argument("--no-sr-moments", action="store_true",
+                   help="ablation: bf16 moments with round-to-nearest instead "
+                        "of stochastic rounding (reproduces the r4 quality "
+                        "collapse — docs/EXPERIMENTS.md)")
     p.add_argument("--distributed", choices=["auto", "off"], default="auto",
                    help="auto: jax.distributed.initialize() when a multi-process "
                         "launch is detected (COORDINATOR_ADDRESS/NUM_PROCESSES/"
@@ -212,6 +216,7 @@ def main() -> None:
         optimizer = FusedEmbeddingAdamW(
             args.lr, weight_decay=args.weight_decay,
             moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
+            stochastic_rounding=False if args.no_sr_moments else None,
         )
     else:
         optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
