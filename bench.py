@@ -68,7 +68,7 @@ def make_corpus(num_sessions: int, num_items: int = NUM_ITEMS, seed: int = 0):
     return ds, stats
 
 
-def make_training(num_items: int = NUM_ITEMS, mesh=None):
+def make_training(num_items: int = NUM_ITEMS, mesh=None, bf16_moments: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +96,10 @@ def make_training(num_items: int = NUM_ITEMS, mesh=None):
     # Measured fastest configuration: sparse embedding gradients (the dense
     # step's [V, D] backward scatter costs ~8 ms alone) + scatter-first AdamW
     # with host-precomputed duplicate grouping — see docs/PERFORMANCE.md.
-    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)  # auto: Pallas on TPU
+    optimizer = FusedEmbeddingAdamW(
+        1e-3, weight_decay=1e-5,  # auto: Pallas on TPU
+        moment_dtype=jnp.bfloat16 if bf16_moments else None,  # SR default-on
+    )
     opt_state = optimizer.init(params)
     if mesh is not None:
         # --mesh mode: the same math through the mesh-sharded dispatch
@@ -121,7 +124,8 @@ def make_training(num_items: int = NUM_ITEMS, mesh=None):
 
 
 def main_e2e(
-    num_sessions: int, workers: int, epochs_long: int, chain: int = 1, mesh_shape=None
+    num_sessions: int, workers: int, epochs_long: int, chain: int = 1, mesh_shape=None,
+    bf16_moments: bool = False,
 ) -> dict:
     import jax
 
@@ -145,7 +149,9 @@ def main_e2e(
         from gat_recommendation_tpu.parallel.steps import shard_batch, shard_chained_batch
 
         mesh = make_mesh(*mesh_shape)
-    model, params, state, opt_state, step, chained_step = make_training(mesh=mesh)
+    model, params, state, opt_state, step, chained_step = make_training(
+        mesh=mesh, bf16_moments=bf16_moments
+    )
     rng = jax.random.key(0)
 
     if mesh is not None:
@@ -211,7 +217,8 @@ def main_e2e(
     sessions_per_sec = len(ds) / per_epoch
     return {
         "metric": "train_sessions_per_sec_per_chip_e2e"
-        + (f"_mesh{mesh_shape[0]}x{mesh_shape[1]}" if mesh_shape else ""),
+        + (f"_mesh{mesh_shape[0]}x{mesh_shape[1]}" if mesh_shape else "")
+        + ("_bf16mom" if bf16_moments else ""),
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -323,6 +330,10 @@ def main():
     p.add_argument("--epochs", type=int, default=3, help="slope window (e2e)")
     p.add_argument("--chain", type=int, default=32,
                    help="optimizer steps per dispatch (lax.scan; 1 = unchained)")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="bf16 moment storage + stochastic rounding (halved "
+                        "moment HBM traffic; quality parity shown in "
+                        "docs/EXPERIMENTS.md)")
     p.add_argument("--mesh", default=None,
                    help="DATAxMODEL (e.g. 1x1, 4x2): run e2e through the "
                         "mesh-sharded steps; 1x1 measures sharding overhead "
@@ -332,7 +343,8 @@ def main():
     result = (
         main_device()
         if args.device
-        else main_e2e(args.sessions, args.workers, args.epochs, args.chain, mesh_shape)
+        else main_e2e(args.sessions, args.workers, args.epochs, args.chain, mesh_shape,
+                      args.bf16_moments)
     )
     detail = result.pop("_detail", None)
     if detail is not None:
