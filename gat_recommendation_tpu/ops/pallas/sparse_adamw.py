@@ -58,7 +58,7 @@ def _sr_bf16(x, rbits):
     return pltpu.bitcast(rounded, jnp.float32).astype(jnp.bfloat16)
 
 
-def _kernel(lr, b1, b2, eps, wd, sr,
+def _kernel(lr, b1, b2, eps, wd, sr_mu, sr_nu,
             offs_ref, bc_ref, base_ref, seed_ref, uid_ref, summed_ref,
             table_ref, mu_ref, nu_ref,
             out_table_ref, out_mu_ref, out_nu_ref,
@@ -93,17 +93,19 @@ def _kernel(lr, b1, b2, eps, wd, sr,
     inv_bc2 = bc_ref[1]
     mu = b1 * mu_scratch[:]
     nu = b2 * nu_scratch[:]
-    if sr:
+    if sr_mu or sr_nu:
         # Per-(step, global tile) stream: seed carries the step count, the
-        # tile term keeps shards/tiles decorrelated. Bits are generated in
-        # VMEM — the SR costs zero extra HBM traffic.
-        # Knuth multiplicative hash (2654435761 as wrapped int32) keeps
-        # tile/shard streams decorrelated from the step stream.
+        # tile term keeps shards/tiles decorrelated (Knuth multiplicative
+        # hash, 2654435761 as wrapped int32). Bits are generated in VMEM —
+        # the SR costs zero extra HBM traffic.
         pltpu.prng_seed(seed_ref[0] + (base + i * TILE) * jnp.int32(-1640531535))
+    if sr_mu:
         out_mu_ref[:] = _sr_bf16(mu, pltpu.prng_random_bits(mu.shape))
-        out_nu_ref[:] = _sr_bf16(nu, pltpu.prng_random_bits(nu.shape))
     else:
         out_mu_ref[:] = mu.astype(out_mu_ref.dtype)
+    if sr_nu:
+        out_nu_ref[:] = _sr_bf16(nu, pltpu.prng_random_bits(nu.shape))
+    else:
         out_nu_ref[:] = nu.astype(out_nu_ref.dtype)
     mu_hat = mu * inv_bc1
     nu_hat = nu * inv_bc2
@@ -143,8 +145,12 @@ def fused_sparse_adamw(
     rows, dim = table.shape
     assert rows % TILE == 0, f"table rows {rows} must be a multiple of {TILE}"
     num_tiles = rows // TILE
+    # SR applies per buffer: only bf16-stored moments round stochastically
+    # (a mixed f32/bf16 pair — the attribution study — SRs just the bf16 one).
+    sr_mu = stochastic_rounding and mu.dtype == jnp.bfloat16
+    sr_nu = stochastic_rounding and nu.dtype == jnp.bfloat16
     if stochastic_rounding:
-        assert mu.dtype == jnp.bfloat16 and nu.dtype == jnp.bfloat16
+        assert sr_mu or sr_nu, "SR requested but neither moment is bf16"
 
     base = jnp.asarray(row_offset, jnp.int32)
     tile_starts = base + jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE
@@ -157,7 +163,7 @@ def fused_sparse_adamw(
     seed = jnp.asarray(count, jnp.int32).reshape(1)  # per-step SR stream
 
     kernel = functools.partial(
-        _kernel, lr, b1, b2, eps, weight_decay, stochastic_rounding
+        _kernel, lr, b1, b2, eps, weight_decay, sr_mu, sr_nu
     )
     tile_spec = lambda: pl.BlockSpec(  # noqa: E731
         (TILE, dim), lambda i, *_: (i, 0), memory_space=pltpu.VMEM

@@ -38,7 +38,10 @@ class FusedEmbeddingAdamW:
         """moment_dtype: storage dtype for the table's mu/nu buffers.
         Default None keeps the table dtype (f32, exact reference-AdamW
         semantics). jnp.bfloat16 halves the moment HBM traffic in the
-        update tail (compute stays f32, storage rounds to bf16).
+        update tail (compute stays f32, storage rounds to bf16). A
+        (mu_dtype, nu_dtype) tuple sets the two buffers independently —
+        the attribution study for the residual SR gap
+        (docs/EXPERIMENTS.md) trains with each moment narrowed alone.
 
         stochastic_rounding: how bf16 moments are stored. Default (None)
         resolves to True whenever moment_dtype is narrower than f32:
@@ -54,9 +57,14 @@ class FusedEmbeddingAdamW:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.moment_dtype = moment_dtype
+        if isinstance(moment_dtype, tuple):
+            self.mu_dtype, self.nu_dtype = moment_dtype
+        else:
+            self.mu_dtype = self.nu_dtype = moment_dtype
         if stochastic_rounding is None:
-            stochastic_rounding = (
-                moment_dtype is not None and moment_dtype != jnp.float32
+            stochastic_rounding = any(
+                d is not None and d != jnp.float32
+                for d in (self.mu_dtype, self.nu_dtype)
             )
         self.stochastic_rounding = stochastic_rounding
         self._rest = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
@@ -68,10 +76,9 @@ class FusedEmbeddingAdamW:
 
     def init(self, params: dict) -> dict:
         table, rest = self._split(params)
-        mdt = self.moment_dtype or table.dtype
         return {
-            "emb_mu": jnp.zeros(table.shape, mdt),
-            "emb_nu": jnp.zeros(table.shape, mdt),
+            "emb_mu": jnp.zeros(table.shape, self.mu_dtype or table.dtype),
+            "emb_nu": jnp.zeros(table.shape, self.nu_dtype or table.dtype),
             "count": jnp.zeros((), jnp.int32),
             "rest": self._rest.init(rest),
         }
@@ -156,7 +163,8 @@ class FusedEmbeddingAdamW:
             # mode="drop": sentinel-padded tail slots (UID_SENTINEL, out of
             # range) fall away instead of clamping onto the last row.
             # Compute in f32; storage rounds to moment_dtype (no-op for f32).
-            mdt = state["emb_mu"].dtype
+            mdt_mu = state["emb_mu"].dtype
+            mdt_nu = state["emb_nu"].dtype
             mu = state["emb_mu"].astype(jnp.float32).at[uid].add(
                 (1.0 - self.b1) / self.b1 * summed, mode="drop"
             )
@@ -172,17 +180,20 @@ class FusedEmbeddingAdamW:
             new_table = table - self.lr * (
                 mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * table
             )
-            if self.stochastic_rounding and mdt == jnp.bfloat16:
-                # Unbiased low-precision store (see ops/rounding.py): RNE
-                # stalls nu's 0.1%-relative increments below the bf16 ulp.
-                from gat_recommendation_tpu.ops.rounding import stochastic_round_bf16
+            # Unbiased low-precision store (see ops/rounding.py): RNE stalls
+            # nu's 0.1%-relative increments below the bf16 ulp. Per-buffer:
+            # a mixed f32/bf16 pair SRs just the bf16 one.
+            from gat_recommendation_tpu.ops.rounding import stochastic_round_bf16
 
-                key = jax.random.fold_in(jax.random.key(20240817), count)
+            key = jax.random.fold_in(jax.random.key(20240817), count)
+            if self.stochastic_rounding and mdt_mu == jnp.bfloat16:
                 mu = stochastic_round_bf16(mu, jax.random.fold_in(key, 0))
+            else:
+                mu = mu.astype(mdt_mu)
+            if self.stochastic_rounding and mdt_nu == jnp.bfloat16:
                 nu = stochastic_round_bf16(nu, jax.random.fold_in(key, 1))
             else:
-                mu = mu.astype(mdt)
-                nu = nu.astype(mdt)
+                nu = nu.astype(mdt_nu)
 
         upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
         new_rest = optax.apply_updates(p_rest, upd)

@@ -75,10 +75,12 @@ def parse_args():
                    help="record per-session val hit vectors (recall@k0) into "
                         "history.json — enables paired bootstrap CIs on model "
                         "ordering margins (summarize_refscale.py)")
-    p.add_argument("--bf16-moments", action="store_true",
+    p.add_argument("--bf16-moments", nargs="?", const="both", default=None,
+                   choices=["both", "mu", "nu"],
                    help="store the embedding-table AdamW moments in bfloat16 "
                         "with stochastic rounding (halves moment HBM traffic; "
-                        "quality measured in docs/PERFORMANCE.md)")
+                        "quality measured in docs/PERFORMANCE.md). Optional "
+                        "value narrows only one buffer (attribution study)")
     p.add_argument("--no-sr-moments", action="store_true",
                    help="ablation: bf16 moments with round-to-nearest instead "
                         "of stochastic rounding (reproduces the r4 quality "
@@ -213,9 +215,15 @@ def main() -> None:
         # row shards under a mesh — parallel/steps.py), XLA path elsewhere.
         import jax.numpy as jnp
 
+        moment_dtype = {
+            None: None,
+            "both": jnp.bfloat16,
+            "mu": (jnp.bfloat16, None),
+            "nu": (None, jnp.bfloat16),
+        }[args.bf16_moments]
         optimizer = FusedEmbeddingAdamW(
             args.lr, weight_decay=args.weight_decay,
-            moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
+            moment_dtype=moment_dtype,
             stochastic_rounding=False if args.no_sr_moments else None,
         )
     else:

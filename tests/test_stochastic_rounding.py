@@ -155,3 +155,44 @@ def test_optimizer_sr_plumbing():
     p2, s2 = opt.update_sparse({"w": jnp.zeros((8,))}, uid, summed, state, params)
     assert s2["emb_mu"].dtype == jnp.bfloat16
     assert np.asarray(s2["emb_nu"].astype(jnp.float32))[uid].any()
+
+
+def test_mixed_moment_dtypes():
+    """(mu_dtype, nu_dtype) tuples: only the bf16 buffer rounds
+    stochastically; the f32 buffer stays exact (attribution-study config)."""
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+    params = {"item_embedding": jnp.ones((512, 8), jnp.float32),
+              "w": jnp.ones((8,), jnp.float32)}
+    uid = jnp.asarray([3, 7], jnp.int32)
+    summed = jnp.full((2, 8), 1e-3, jnp.float32)
+
+    opt = FusedEmbeddingAdamW(
+        1e-3, moment_dtype=(None, jnp.bfloat16), use_pallas=False
+    )
+    assert opt.stochastic_rounding  # any narrowed buffer turns SR on
+    state = opt.init(params)
+    assert state["emb_mu"].dtype == jnp.float32
+    assert state["emb_nu"].dtype == jnp.bfloat16
+    _, s2 = opt.update_sparse({"w": jnp.zeros((8,))}, uid, summed, state, params)
+    assert s2["emb_mu"].dtype == jnp.float32
+    assert s2["emb_nu"].dtype == jnp.bfloat16
+    # exact f32 mu: matches the closed-form first step
+    want_mu = (1 - 0.9) * 1e-3
+    np.testing.assert_allclose(
+        np.asarray(s2["emb_mu"])[np.asarray(uid)], want_mu, rtol=1e-6
+    )
+
+
+def test_kernel_mixed_dtypes_interpret():
+    """Pallas kernel with (f32 mu, bf16 nu): runs, preserves dtypes."""
+    from tests.test_sparse_adamw_kernel import HP, make_inputs
+    from jax.experimental.pallas import tpu as pltpu
+    from gat_recommendation_tpu.ops.pallas.sparse_adamw import fused_sparse_adamw
+
+    table, mu, nu, uid, summed, count = make_inputs(seed=5)
+    got_t, got_m, got_n = fused_sparse_adamw(
+        table, mu, nu.astype(jnp.bfloat16), uid, summed, count, **HP,
+        stochastic_rounding=True, interpret=pltpu.InterpretParams(),
+    )
+    assert got_m.dtype == jnp.float32 and got_n.dtype == jnp.bfloat16
