@@ -45,12 +45,18 @@ def adamw_update_reference(
 
 
 def _kernel(count_ref, w_ref, mu_ref, nu_ref, g_ref, w_out, mu_out, nu_out,
-            *, lr, b1, b2, eps, weight_decay):
+            *, lr, b1, b2, eps, weight_decay, sr_mu, sr_nu):
     import math
 
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     g = g_ref[...]
-    mu = b1 * mu_ref[...] + (1.0 - b1) * g
-    nu = b2 * nu_ref[...] + (1.0 - b2) * g * g
+    # Compute in f32 regardless of the moment STORAGE dtype (bf16 moments
+    # halve HBM traffic; arithmetic in bf16 would compound the storage
+    # error every step).
+    mu = b1 * mu_ref[...].astype(jnp.float32) + (1.0 - b1) * g
+    nu = b2 * nu_ref[...].astype(jnp.float32) + (1.0 - b2) * g * g
     c = count_ref[0].astype(jnp.float32)
     # b^c as exp(c*log(b)): Mosaic has no powf with a runtime exponent.
     mu_hat = mu / (1.0 - jnp.exp(c * math.log(b1)))
@@ -58,8 +64,23 @@ def _kernel(count_ref, w_ref, mu_ref, nu_ref, g_ref, w_out, mu_out, nu_out,
     w = w_ref[...]
     update = mu_hat / (jnp.sqrt(nu_hat) + eps) + weight_decay * w
     w_out[...] = w - lr * update
-    mu_out[...] = mu
-    nu_out[...] = nu
+    if sr_mu or sr_nu:
+        # Unbiased bf16 store (same trick as sparse_adamw._sr_bf16; RNE
+        # stalls nu's sub-ulp increments — docs/EXPERIMENTS.md). Seed =
+        # (step count, tile) so rounding is reproducible per step.
+        from gat_recommendation_tpu.ops.pallas.sparse_adamw import _sr_bf16
+
+        pltpu.prng_seed(
+            count_ref[0] + pl.program_id(0) * jnp.int32(-1640531535)
+        )
+    if sr_mu:
+        mu_out[...] = _sr_bf16(mu, pltpu.prng_random_bits(mu.shape))
+    else:
+        mu_out[...] = mu.astype(mu_out.dtype)
+    if sr_nu:
+        nu_out[...] = _sr_bf16(nu, pltpu.prng_random_bits(nu.shape))
+    else:
+        nu_out[...] = nu.astype(nu_out.dtype)
 
 
 @functools.partial(
@@ -79,11 +100,13 @@ def fused_embedding_adamw(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     row_tile: int = 512,
+    stochastic_rounding: bool = False,
     interpret: bool = False,
 ):
     """Single-pass fused AdamW over the [V, D] table. Returns (w', mu', nu').
 
     `count` is the post-update step number (int32 scalar array).
+    stochastic_rounding: unbiased store for bf16 mu/nu (per-buffer).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -96,7 +119,9 @@ def fused_embedding_adamw(
 
     spec = pl.BlockSpec((row_tile, D), idx, memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _kernel, lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+        _kernel, lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+        sr_mu=stochastic_rounding and mu.dtype == jnp.bfloat16,
+        sr_nu=stochastic_rounding and nu.dtype == jnp.bfloat16,
     )
     count_arr = jnp.asarray(count, jnp.int32).reshape((1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(

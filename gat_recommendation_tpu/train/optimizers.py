@@ -98,17 +98,32 @@ class FusedEmbeddingAdamW:
                 table, state["emb_mu"], state["emb_nu"], g_table, count,
                 lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
                 weight_decay=self.weight_decay,
+                stochastic_rounding=self.stochastic_rounding,
             )
         else:
             from gat_recommendation_tpu.ops.pallas.embedding_adamw import (
                 adamw_update_reference,
             )
+            from gat_recommendation_tpu.ops.rounding import stochastic_round_bf16
 
             new_table, mu, nu = adamw_update_reference(
-                table, state["emb_mu"], state["emb_nu"], g_table, count,
+                table,
+                state["emb_mu"].astype(jnp.float32),  # compute in f32
+                state["emb_nu"].astype(jnp.float32),
+                g_table, count,
                 lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
                 weight_decay=self.weight_decay,
             )
+            key = jax.random.fold_in(jax.random.key(20240817), count)
+            for name, val, dt in (("mu", mu, self.mu_dtype), ("nu", nu, self.nu_dtype)):
+                dt = dt or table.dtype
+                if self.stochastic_rounding and dt == jnp.bfloat16:
+                    val = stochastic_round_bf16(
+                        val, jax.random.fold_in(key, 0 if name == "mu" else 1)
+                    )
+                else:
+                    val = val.astype(dt)
+                mu, nu = (val, nu) if name == "mu" else (mu, val)
 
         upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
         new_rest = optax.apply_updates(p_rest, upd)

@@ -196,3 +196,21 @@ def test_kernel_mixed_dtypes_interpret():
         stochastic_rounding=True, interpret=pltpu.InterpretParams(),
     )
     assert got_m.dtype == jnp.float32 and got_n.dtype == jnp.bfloat16
+
+
+def test_update_full_bf16_moments_stay_bf16():
+    """Dense path (update_full): bf16 moments must come back bf16 — the XLA
+    fallback used to silently widen them to f32 after the first update —
+    and SR must keep nu live under sub-ulp increments."""
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+    opt = FusedEmbeddingAdamW(1e-3, moment_dtype=jnp.bfloat16, use_pallas=False)
+    params = {"item_embedding": jnp.ones((128, 8), jnp.float32),
+              "w": jnp.ones((8,), jnp.float32)}
+    state = opt.init(params)
+    grads = {"item_embedding": jnp.full((128, 8), 1e-3, jnp.float32),
+             "w": jnp.zeros((8,), jnp.float32)}
+    p, s = opt.update_full(grads, state, params)
+    assert s["emb_mu"].dtype == jnp.bfloat16
+    assert s["emb_nu"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(p["item_embedding"])).all()
