@@ -159,7 +159,9 @@ class FusedEmbeddingAdamW:
         ):
             # Single-pass Pallas kernel: one HBM round-trip over
             # table/mu/nu (the traffic floor) instead of the XLA path's two.
-            sr = self.stochastic_rounding and state["emb_mu"].dtype == jnp.bfloat16
+            sr = self.stochastic_rounding and jnp.bfloat16 in (
+                state["emb_mu"].dtype, state["emb_nu"].dtype
+            )
             if mesh is not None:
                 # shard_map over 'model' row shards: each shard locates its
                 # own rows in the ascending (global-id) uid — no collectives.

@@ -214,3 +214,29 @@ def test_update_full_bf16_moments_stay_bf16():
     assert s["emb_mu"].dtype == jnp.bfloat16
     assert s["emb_nu"].dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(p["item_embedding"])).all()
+
+
+def test_sr_gate_covers_nu_only(monkeypatch):
+    """Regression: with (f32 mu, bf16 nu) the Pallas branch's SR gate used
+    to check only emb_mu and silently ran RNE — reproducing the collapse
+    the config was meant to prevent. Assert the kernel is invoked with
+    stochastic_rounding=True for a nu-only config."""
+    from gat_recommendation_tpu.ops.pallas import sparse_adamw as sk
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+
+    seen = {}
+    def fake_fused(table, mu, nu, uid, summed, count, **kw):
+        seen["sr"] = kw.get("stochastic_rounding")
+        return table, mu, nu
+    monkeypatch.setattr(sk, "fused_sparse_adamw", fake_fused)
+    monkeypatch.setattr(sk, "supports", lambda *a, **k: True)
+
+    opt = FusedEmbeddingAdamW(1e-3, moment_dtype=(None, jnp.bfloat16), use_pallas=True)
+    params = {"item_embedding": jnp.ones((512, 8), jnp.float32),
+              "w": jnp.ones((8,), jnp.float32)}
+    state = opt.init(params)
+    opt.update_sparse(
+        {"w": jnp.zeros((8,))}, jnp.asarray([1, 2], jnp.int32),
+        jnp.full((2, 8), 1e-3, jnp.float32), state, params,
+    )
+    assert seen["sr"] is True
