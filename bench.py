@@ -96,9 +96,13 @@ def make_training(num_items: int = NUM_ITEMS, mesh=None, bf16_moments: bool = Fa
     # Measured fastest configuration: sparse embedding gradients (the dense
     # step's [V, D] backward scatter costs ~8 ms alone) + scatter-first AdamW
     # with host-precomputed duplicate grouping — see docs/PERFORMANCE.md.
+    moment_dtype = {  # SR default-on for any bf16 buffer
+        False: None, None: None, "both": jnp.bfloat16, True: jnp.bfloat16,
+        "mu": (jnp.bfloat16, None), "nu": (None, jnp.bfloat16),
+    }[bf16_moments]
     optimizer = FusedEmbeddingAdamW(
         1e-3, weight_decay=1e-5,  # auto: Pallas on TPU
-        moment_dtype=jnp.bfloat16 if bf16_moments else None,  # SR default-on
+        moment_dtype=moment_dtype,
     )
     opt_state = optimizer.init(params)
     if mesh is not None:
@@ -218,7 +222,7 @@ def main_e2e(
     return {
         "metric": "train_sessions_per_sec_per_chip_e2e"
         + (f"_mesh{mesh_shape[0]}x{mesh_shape[1]}" if mesh_shape else "")
-        + ("_bf16mom" if bf16_moments else ""),
+        + (f"_bf16mom_{bf16_moments}" if bf16_moments else ""),
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -330,10 +334,12 @@ def main():
     p.add_argument("--epochs", type=int, default=3, help="slope window (e2e)")
     p.add_argument("--chain", type=int, default=32,
                    help="optimizer steps per dispatch (lax.scan; 1 = unchained)")
-    p.add_argument("--bf16-moments", action="store_true",
+    p.add_argument("--bf16-moments", nargs="?", const="both", default=None,
+                   choices=["both", "mu", "nu"],
                    help="bf16 moment storage + stochastic rounding (halved "
-                        "moment HBM traffic; quality parity shown in "
-                        "docs/EXPERIMENTS.md)")
+                        "moment HBM traffic; quality measured in "
+                        "docs/EXPERIMENTS.md). Optional value narrows one "
+                        "buffer: 'nu' is the quality-parity sweet spot")
     p.add_argument("--mesh", default=None,
                    help="DATAxMODEL (e.g. 1x1, 4x2): run e2e through the "
                         "mesh-sharded steps; 1x1 measures sharding overhead "
