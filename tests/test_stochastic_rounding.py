@@ -240,3 +240,34 @@ def test_sr_gate_covers_nu_only(monkeypatch):
         jnp.full((2, 8), 1e-3, jnp.float32), state, params,
     )
     assert seen["sr"] is True
+
+
+def test_sharded_sparse_step_with_sr_moments():
+    """Mesh path: the sharded sparse train step with bf16+SR moments runs
+    on the virtual CPU mesh, preserves moment dtypes, and produces a
+    finite loss (the sharded kernel seeds SR per shard via row_offset)."""
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.parallel import make_mesh
+    from gat_recommendation_tpu.parallel.steps import (
+        make_sharded_sparse_train_step,
+        shard_params,
+    )
+    from gat_recommendation_tpu.train.losses import dual_loss
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+    from tests.conftest import make_dummy_batch
+
+    mesh = make_mesh(2, 4)  # dummy batch has 2 rows -> data axis 2
+    model = create_model("graphsage", num_items=104, embedding_dim=16, hidden_dim=16)
+    params, state = model.init_params(jax.random.key(0))
+    opt = FusedEmbeddingAdamW(1e-3, moment_dtype=(None, jnp.bfloat16))
+    opt_state = opt.init(params)
+    params, state, opt_state = shard_params(params, state, opt_state, mesh)
+    step = make_sharded_sparse_train_step(model, dual_loss, opt, mesh)
+
+    from gat_recommendation_tpu.parallel.steps import shard_batch
+
+    batch = shard_batch(make_dummy_batch(bucket_n=8), mesh)
+    p2, s2, o2, loss = step(params, state, opt_state, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert o2["emb_mu"].dtype == jnp.float32
+    assert o2["emb_nu"].dtype == jnp.bfloat16
