@@ -31,12 +31,18 @@ def sharded_topk(
     scores [B, k]) sharded over 'data'. Handles V not divisible by the
     model-axis size by padding with -inf-scoring phantom rows.
     """
+    from gat_recommendation_tpu.ops.scoring import DEFAULT_CHUNK
+
     n_model = mesh.shape["model"]
     rows, D = item_table.shape
     # Logical catalog size: phantom rows beyond it (pre-padded tables and any
     # rows appended here for even sharding) are masked to -inf below.
     V = num_valid if num_valid is not None else rows
-    pad = (-rows) % n_model
+    # Pad so each shard's row count is ALSO a chunk multiple: the two-level
+    # local selector would otherwise -inf-pad the [b, shard_rows] score
+    # matrix per eval batch (a recurring ~30 MB copy at reference scale —
+    # code-review r5); padding the table once here is free.
+    pad = (-rows) % (n_model * DEFAULT_CHUNK)
     if pad:
         item_table = jnp.concatenate([item_table, jnp.zeros((pad, D), item_table.dtype)], 0)
     shard_rows = item_table.shape[0] // n_model

@@ -334,8 +334,8 @@ class Trainer:
             # Explicit two-phase distributed top-k, NOT the GSPMD-partitioned
             # dense top_k: letting GSPMD choose all-gathers the full [B, V]
             # score matrix (1.2 GB/step at reference scale on a 4x2 mesh) vs
-            # 41 KB for k-candidates-per-shard — measured by
-            # scripts/pipeline/collective_accounting.py, docs/PARALLELISM.md.
+            # ~1 MB for k-candidates-per-shard + one session-emb all-reduce
+            # — scripts/pipeline/collective_accounting.py, docs/PARALLELISM.md.
             self._eval_step = make_sharded_eval_step_v2(
                 self.model, max(self.k_values), mesh
             )
@@ -609,15 +609,21 @@ class Trainer:
         self.history = meta["history"]
         # Legacy (round-4) checkpoints carried hit vectors inside history as
         # JSON int lists; current runs persist them as a packed-bit sidecar.
+        # Converting is unconditional: history.json is rewritten at the end
+        # of train(), so stripping the legacy key without writing the
+        # sidecar would destroy the vectors on any resume that didn't pass
+        # record_hits (code-review r5).
         legacy = self.history.pop(f"val_hits@{self.k_values[0]}", None)
+        sidecar = self.output_dir / f"hits_k{self.k_values[0]}.npz"
+        if legacy is not None and not sidecar.exists() and jax.process_index() == 0:
+            from gat_recommendation_tpu.train.hits_io import save_hits
+
+            save_hits(sidecar, [np.asarray(r, dtype=np.int8) for r in legacy])
         if self.record_hits:
             from gat_recommendation_tpu.train.hits_io import load_hits
 
-            sidecar = self.output_dir / f"hits_k{self.k_values[0]}.npz"
             if sidecar.exists():
                 self.hits = load_hits(sidecar)
-            elif legacy is not None:
-                self.hits = [np.asarray(r, dtype=np.int8) for r in legacy]
             else:
                 self.hits = [None] * len(self.history["val_metrics"])
             # Align strictly with the restored val_metrics (the sidecar may

@@ -27,11 +27,27 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-N_DEVICES_DEFAULT = 8
+# The virtual device count must be set BEFORE jax imports, but --mesh is
+# parsed after — peek at argv so any DATAxMODEL shape works (8x2 needs 16
+# virtual devices, not the old hardcoded 8 — code-review r5).
+def _peek_mesh_devices(argv: list[str]) -> int:
+    for i, a in enumerate(argv):
+        spec = a.split("=", 1)[1] if a.startswith("--mesh=") else (
+            argv[i + 1] if a == "--mesh" and i + 1 < len(argv) else None
+        )
+        if spec:
+            try:
+                d, m = (int(x) for x in spec.split("x"))
+                return d * m
+            except ValueError:
+                pass
+    return 8
+
+
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={N_DEVICES_DEFAULT}"
+        + f" --xla_force_host_platform_device_count={_peek_mesh_devices(sys.argv)}"
     ).strip()
 
 import jax  # noqa: E402
@@ -55,12 +71,28 @@ _DTYPE_BYTES = {
 # `%name = f32[512,160]{1,0} all-gather(...), replica_groups=...` — groups
 # come in list form `{{0,1},{2,3}}` or iota form `[4,2]<=[8]` (optionally
 # with a transpose suffix `T(1,0)` marking major-axis, i.e. 'data', groups).
+# The result may be a TUPLE of tensors (XLA's all-reduce combiner merges
+# several reductions into one op); _shape_bytes sums every component.
 _COLLECTIVE_RE = re.compile(
-    r"=\s+(?:\()?(\w+)\[([\d,]*)\][^ ]*\s+"
+    r"=\s+(\(?[^=]*?)\s*"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(.*?replica_groups=("
+    r"(?:-start|-done)?\(.*?replica_groups=("
     r"\{\{[^}]*\}(?:,\s*\{[^}]*\})*\}|\[[^\]]*\](?:<=\[[^\]]*\](?:T\([^)]*\))?)?)",
 )
+_TENSOR_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shapes_str: str) -> tuple[int, str, list]:
+    """Total bytes over every `dtype[dims]` component (tuple results sum);
+    a rank-0 `f32[]` counts its scalar size, not zero."""
+    total, dtype0, shapes = 0, "?", []
+    for dtype, dims in _TENSOR_RE.findall(shapes_str):
+        if dtype not in _DTYPE_BYTES:
+            continue  # layout annotations like {1,0} don't match \w+[
+        shape = [int(d) for d in dims.split(",")] if dims else []
+        total += int(np.prod(shape, dtype=np.int64)) * _DTYPE_BYTES[dtype]
+        dtype0, shapes = (dtype0 if shapes else dtype), shapes + [shape]
+    return total, dtype0, shapes
 
 
 def _axis_of(groups: str, n_model: int, n_devices: int) -> str:
@@ -95,10 +127,11 @@ def collect(compiled_text: str, n_model: int, n_devices: int) -> list[dict]:
         m = _COLLECTIVE_RE.search(line)
         if not m:
             continue
-        dtype, dims, kind, groups = m.groups()
-        shape = [int(d) for d in dims.split(",")] if dims else []
-        nbytes = int(np.prod(shape)) * _DTYPE_BYTES.get(dtype, 4) if shape else 0
-        out.append({"op": kind, "dtype": dtype, "shape": shape,
+        shapes_str, kind, groups = m.groups()
+        if kind + "-done" in line:
+            continue  # async pair: count the -start, skip its -done twin
+        nbytes, dtype, shapes = _shape_bytes(shapes_str)
+        out.append({"op": kind, "dtype": dtype, "shape": shapes,
                     "bytes": nbytes, "axis": _axis_of(groups, n_model, n_devices)})
     return out
 

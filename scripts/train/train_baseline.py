@@ -73,8 +73,9 @@ def parse_args():
                         "1 disables")
     p.add_argument("--record-hits", action="store_true",
                    help="record per-session val hit vectors (recall@k0) into "
-                        "history.json — enables paired bootstrap CIs on model "
-                        "ordering margins (summarize_refscale.py)")
+                        "a packed-bit hits_k{k}.npz sidecar — enables paired "
+                        "bootstrap CIs on model ordering margins "
+                        "(summarize_refscale.py)")
     p.add_argument("--bf16-moments", nargs="?", const="both", default=None,
                    choices=["both", "mu", "nu"],
                    help="store the embedding-table AdamW moments in bfloat16 "

@@ -214,3 +214,47 @@ def test_record_hits_resume_alignment(tmp_path):
         assert float(rows[i].mean()) == pytest.approx(
             history["val_metrics"][i]["recall@10"], abs=1e-6
         )
+
+
+def test_resume_without_record_hits_preserves_legacy_hits(tmp_path):
+    """Resuming a legacy (round-4) checkpoint whose history carries JSON
+    val_hits WITHOUT --record-hits must convert them to the packed sidecar,
+    not destroy them when history.json is rewritten (code-review r5)."""
+    from gat_recommendation_tpu.data.batching import iterate_batches
+    from gat_recommendation_tpu.models import create_model
+    from gat_recommendation_tpu.train.hits_io import load_hits
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    ds = _tiny_dataset()
+
+    def make_trainer(record_hits, max_epochs):
+        model = create_model(
+            "graphsage", num_items=ds.num_items, embedding_dim=8, hidden_dim=8, dropout=0.0
+        )
+        return Trainer(
+            model,
+            train_batches=lambda epoch: iterate_batches(ds, 8, shuffle=True, seed=epoch),
+            val_batches=lambda: iterate_batches(ds, 8),
+            output_dir=tmp_path,
+            max_epochs=max_epochs,
+            eval_every=1,
+            record_hits=record_hits,
+        )
+
+    t1 = make_trainer(True, 2)
+    t1.train()
+    # Forge the legacy layout: hits back inside checkpoint meta/history,
+    # no sidecar on disk.
+    legacy_rows = [list(map(int, r)) for r in load_hits(tmp_path / "hits_k10.npz")]
+    (tmp_path / "hits_k10.npz").unlink()
+    meta_path = tmp_path / "checkpoint_latest" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["history"]["val_hits@10"] = legacy_rows
+    meta_path.write_text(json.dumps(meta))
+
+    t2 = make_trainer(False, 4)  # record_hits OFF — the destructive case
+    history = t2.train(resume=True)
+    assert not any(k.startswith("val_hits") for k in history)
+    rows = load_hits(tmp_path / "hits_k10.npz")  # sidecar restored the vectors
+    assert len(rows) == 2
+    np.testing.assert_array_equal(rows[0], np.asarray(legacy_rows[0], np.int8))
