@@ -205,6 +205,33 @@ def make_eval_step(model, k: int, topk_method: str = "auto") -> Callable:
     return eval_step
 
 
+def make_chained_eval_step(model, k: int, topk_method: str = "auto") -> Callable:
+    """C eval steps in ONE dispatch: lax.scan of forward + full-catalog
+    top-k over a stacked [C, B, ...] batch (data/batching.stack_batches).
+
+    Same selector and outputs as make_eval_step, C batches per relay round
+    trip: through a remote-TPU relay the per-dispatch latency made eval
+    ~30% of a reference-scale study epoch at chain=1, the same gap step
+    chaining closed for training (docs/PERFORMANCE.md 'Step chaining')."""
+
+    from gat_recommendation_tpu.ops.scoring import full_catalog_topk
+
+    @jax.jit
+    def chained_eval(params, state, batches):
+        def body(carry, b):
+            sess, _ = model.apply(params, state, b, model.config, train=False)
+            _, idx = full_catalog_topk(
+                sess, params["item_embedding"], k, model.config.num_items,
+                method=topk_method,
+            )
+            return carry, idx
+
+        _, tops = jax.lax.scan(body, 0, batches)
+        return tops  # [C, B, k]
+
+    return chained_eval
+
+
 def _device_copy(tree):
     """Copy every device array in a pytree (device-to-device, no host pull).
 
@@ -282,6 +309,7 @@ class Trainer:
         # tests assert the chained path actually fired (a bucket layout that
         # never completes a group would silently run single steps).
         self.chained_dispatches = 0
+        self.chained_eval_dispatches = 0
         # Cadence bookkeeping: checkpoint_every counts EVAL OCCURRENCES (save
         # on every Nth eval), so eval_every and checkpoint_every compose
         # predictably; _latest_saved_epoch lets train() backstop-save the
@@ -351,6 +379,9 @@ class Trainer:
                 self.chain = chain
                 self._chained_step = make_chained_sparse_train_step(
                     self.model, self.loss_fn, self.optimizer, donate=True
+                )
+                self._chained_eval = make_chained_eval_step(
+                    self.model, max(self.k_values)
                 )
         else:
             self._train_step = make_train_step(
@@ -526,18 +557,46 @@ class Trainer:
             )
         return self._replicate_jit(x)
 
+    def _eval_one(self, params, state, item, device_tops, masks, targets):
+        batch, meta = item if isinstance(item, tuple) else (item, None)
+        top = self._eval_step(params, state, self._to_device(batch))
+        device_tops.append(self._replicate_output(top))
+        # Multi-host: metrics need GLOBAL targets/masks (the local batch
+        # holds only this process's rows) — GlobalBatchMeta carries them.
+        masks.append(np.asarray(meta.sample_mask if meta is not None else batch.sample_mask))
+        targets.append(np.asarray(meta.targets if meta is not None else batch.targets))
+
     def evaluate(self, params, state) -> dict:
         # Keep per-batch top-k on device; one concatenated readback at the
         # end (per-batch readbacks serialize the pipeline).
         device_tops, masks, targets = [], [], []
-        for item in self.val_batches():
-            batch, meta = item if isinstance(item, tuple) else (item, None)
-            top = self._eval_step(params, state, self._to_device(batch))
-            device_tops.append(self._replicate_output(top))
-            # Multi-host: metrics need GLOBAL targets/masks (the local batch
-            # holds only this process's rows) — GlobalBatchMeta carries them.
-            masks.append(np.asarray(meta.sample_mask if meta is not None else batch.sample_mask))
-            targets.append(np.asarray(meta.targets if meta is not None else batch.targets))
+        if self.chain > 1 and self.mesh is None and hasattr(self, "_chained_eval"):
+            # C batches per dispatch (make_chained_eval_step); partial
+            # groups at bucket boundaries fall back to single eval steps,
+            # exactly like train_epoch's chain groups. chain_iterator
+            # preserves order, so predictions stay aligned with targets.
+            from gat_recommendation_tpu.data.batching import (
+                chain_iterator,
+                stack_batches,
+                to_device,
+            )
+
+            for group in chain_iterator(self.val_batches(), self.chain):
+                if len(group) < self.chain or any(isinstance(it, tuple) for it in group):
+                    for item in group:
+                        self._eval_one(params, state, item, device_tops, masks, targets)
+                    continue
+                tops = self._chained_eval(
+                    params, state, to_device(stack_batches(group))
+                )  # [C, B, k]
+                device_tops.append(tops.reshape(-1, tops.shape[-1]))
+                self.chained_eval_dispatches += 1
+                for b in group:
+                    masks.append(np.asarray(b.sample_mask))
+                    targets.append(np.asarray(b.targets))
+        else:
+            for item in self.val_batches():
+                self._eval_one(params, state, item, device_tops, masks, targets)
         if not device_tops:
             predictions = np.zeros((0, max(self.k_values)), int)
             targets_arr = np.zeros((0,), int)

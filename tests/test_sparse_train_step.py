@@ -108,6 +108,10 @@ def test_chained_step_matches_unchained(tmp_path):
             chain=chain,
         )
         results[chain] = trainer.train()
+        if chain > 1:
+            # both chained paths must actually fire (train + eval)
+            assert trainer.chained_dispatches > 0
+            assert trainer.chained_eval_dispatches > 0
     np.testing.assert_allclose(
         results[1]["train_loss"], results[4]["train_loss"], rtol=1e-5
     )
