@@ -11,14 +11,22 @@ from pathlib import Path
 
 import numpy as np
 
-from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches, to_device
+from gat_recommendation_tpu.data.batching import (
+    SessionDataset,
+    chain_iterator,
+    iterate_batches,
+    stack_batches,
+    to_device,
+)
 from gat_recommendation_tpu.data.graph import load_edges
 from gat_recommendation_tpu.models import create_model
 from gat_recommendation_tpu.train import checkpoint as ckpt
 from gat_recommendation_tpu.train.metrics import compute_ndcg_at_k, compute_recall_at_k
-from gat_recommendation_tpu.train.trainer import make_eval_step
+from gat_recommendation_tpu.train.trainer import make_chained_eval_step, make_eval_step
 from gat_recommendation_tpu.utils.io import save_json
 from gat_recommendation_tpu.utils.logging import get_logger
+
+CHAIN = 16  # eval batches per dispatch (relay round-trip amortization)
 
 
 def evaluate_checkpoint(ckpt_dir: Path, test_ds, batch_size: int, k_values: list[int]) -> dict:
@@ -31,13 +39,26 @@ def evaluate_checkpoint(ckpt_dir: Path, test_ds, batch_size: int, k_values: list
     p_tmpl, s_tmpl = model.init_params(jax.random.key(0))
     params, state = ckpt.restore_params_state(ckpt_dir, p_tmpl, s_tmpl)
 
+    # Chained eval (trainer.make_chained_eval_step): full same-bucket groups
+    # run CHAIN batches per dispatch; partial groups fall back per batch.
     eval_step = make_eval_step(model, max(k_values))
+    chained = make_chained_eval_step(model, max(k_values))
     preds, targets = [], []
-    for batch in iterate_batches(test_ds, batch_size=batch_size, shuffle=False):
-        top = np.asarray(eval_step(params, state, to_device(batch)))
+
+    def take(top, batch):
         mask = np.asarray(batch.sample_mask)
-        preds.append(top[mask])
+        preds.append(np.asarray(top)[mask])
         targets.append(np.asarray(batch.targets)[mask])
+
+    batches = iterate_batches(test_ds, batch_size=batch_size, shuffle=False)
+    for group in chain_iterator(batches, CHAIN):
+        if len(group) < CHAIN:
+            for batch in group:
+                take(eval_step(params, state, to_device(batch)), batch)
+            continue
+        tops = np.asarray(chained(params, state, to_device(stack_batches(group))))
+        for top, batch in zip(tops, group):
+            take(top, batch)
     predictions = np.concatenate(preds)
     targets_arr = np.concatenate(targets)
 
