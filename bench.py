@@ -163,13 +163,23 @@ def main_e2e(
     else:
         transfer = lambda hb: (to_device(hb), make_grad_index(hb))  # noqa: E731
 
-    def transfer_group(items):
-        if len(items) < chain:
-            return [transfer(b) for b in items]
+    def stack_group(items):
         gidxs = [make_grad_index(b) for b in items]
         stacked = stack_batches(items)
         staged = shard_chained_batch(stacked, mesh) if mesh is not None else to_device(stacked)
         return ("chained", staged, stack_grad_indices(gidxs))
+
+    SUBCHAIN = 8  # partial groups sub-chain before falling back to singles
+
+    def transfer_group(items):
+        if len(items) == chain:
+            return [stack_group(items)]
+        out, i = [], 0
+        while len(items) - i >= SUBCHAIN and chain > SUBCHAIN:
+            out.append(stack_group(items[i:i + SUBCHAIN]))
+            i += SUBCHAIN
+        out.extend(transfer(b) for b in items[i:])
+        return out
 
     def run_epochs(n_epochs, seed0):
         nonlocal params, state, opt_state
@@ -185,20 +195,20 @@ def main_e2e(
                 # C steps per dispatch/transfer (lax.scan) — the relay
                 # round-trip amortization that closes the e2e gap
                 # (docs/PERFORMANCE.md 'Step chaining').
-                for g in prefetch_to_device(
+                for entries in prefetch_to_device(
                     chain_iterator(raw, chain), size=4, transfer=transfer_group
                 ):
-                    if isinstance(g, tuple) and g[0] == "chained":
-                        _, sb, sg = g
-                        params, state, opt_state, lv = chained_step(
-                            params, state, opt_state, sb, sg, rng, nsteps
-                        )
-                        loss = lv[-1]
-                        nsteps += int(sg.uid.shape[0])
-                    else:
-                        for db in g:
+                    for e in entries:
+                        if isinstance(e, tuple) and len(e) == 3 and e[0] == "chained":
+                            _, sb, sg = e
+                            params, state, opt_state, lv = chained_step(
+                                params, state, opt_state, sb, sg, rng, nsteps
+                            )
+                            loss = lv[-1]
+                            nsteps += int(sg.uid.shape[0])
+                        else:
                             params, state, opt_state, loss = step(
-                                params, state, opt_state, db, jax.random.fold_in(rng, nsteps)
+                                params, state, opt_state, e, jax.random.fold_in(rng, nsteps)
                             )
                             nsteps += 1
             else:

@@ -435,25 +435,24 @@ class Trainer:
             gidx = make_grad_index(batch)
         return (dbatch, gidx)
 
-    def _transfer_chain(self, items: list):
-        """Transfer one chain_iterator group: full groups are stacked on the
-        host (one transfer, one chained dispatch); partial groups at bucket
-        boundaries fall back to per-item transfer + single steps."""
-        from gat_recommendation_tpu.data.batching import (
-            make_grad_index,
-            stack_batches,
-            stack_grad_indices,
-            to_device,
-        )
+    # Partial chain groups at bucket boundaries sub-chain at this size
+    # before falling back to singles: a 236-batch reference epoch leaves
+    # ~44 unchained steps across the 4 buckets at chain=32 (~0.2 s of
+    # per-dispatch relay latency); sub-chaining cuts that to ~20. One
+    # extra compiled variant per bucket (chain-8), nothing else.
+    SUBCHAIN = 8
 
-        if len(items) < self.chain:
-            return [self._transfer(it) for it in items]
+    def _transfer_chain(self, items: list):
+        """Transfer one chain_iterator group. Returns a list of entries,
+        each ("chained", batches, gidxs) or a single transferred item: full
+        groups are one chained dispatch; partial groups split into SUBCHAIN
+        runs + singles (single-process paths; multi-host partial groups
+        stay singles)."""
         # Multi-host items carry a GlobalBatchMeta whose ids (covering the
         # GLOBAL batch, identical on every process) drive the GradIndex; the
         # local rows bind into the global chained batch. Single-process mesh
         # and single-device groups stack the local batches directly.
         metas = [it[1] if isinstance(it, tuple) else None for it in items]
-        batches = [it[0] if isinstance(it, tuple) else it for it in items]
         with_ids = [m is not None and m.ids is not None for m in metas]
         multihost = all(with_ids)
         # A group mixing (batch, meta) items with plain batches must fail
@@ -464,13 +463,36 @@ class Trainer:
             "chain group mixes multi-host (batch, meta) items with plain "
             "batches — the iterator must yield homogeneous groups"
         )
+        if len(items) == self.chain:
+            return [self._stack_group(items, multihost)]
+        if multihost:  # partial multi-host group: singles (scope bound)
+            return [self._transfer(it) for it in items]
+        out, i = [], 0
+        while len(items) - i >= self.SUBCHAIN and self.chain > self.SUBCHAIN:
+            out.append(self._stack_group(items[i:i + self.SUBCHAIN], False))
+            i += self.SUBCHAIN
+        out.extend(self._transfer(it) for it in items[i:])
+        return out
+
+    def _stack_group(self, items: list, multihost: bool):
+        """Stack one homogeneous group into a ("chained", batches, gidxs)."""
+        from gat_recommendation_tpu.data.batching import (
+            make_grad_index,
+            stack_batches,
+            stack_grad_indices,
+            to_device,
+        )
+
+        batches = [it[0] if isinstance(it, tuple) else it for it in items]
         if multihost:
             from gat_recommendation_tpu.data.batching import make_grad_index_from_ids
             from gat_recommendation_tpu.parallel.distributed import (
                 make_global_chained_batch,
             )
 
-            gidxs = stack_grad_indices([make_grad_index_from_ids(m.ids) for m in metas])
+            gidxs = stack_grad_indices(
+                [make_grad_index_from_ids(it[1].ids) for it in items]
+            )
             return (
                 "chained",
                 make_global_chained_batch(stack_batches(batches), self.mesh),
@@ -509,20 +531,20 @@ class Trainer:
                 transfer=self._transfer_chain,
             )
             step = 0
-            for g in groups:
-                if isinstance(g, tuple) and g[0] == "chained":
-                    _, sb, sg = g
-                    params, state, opt_state, loss_vec = self._chained_step(
-                        params, state, opt_state, sb, sg, epoch_rng, step
-                    )
-                    losses.append(loss_vec)
-                    self.chained_dispatches += 1
-                    step += int(sg.uid.shape[0])
-                else:  # partial group: list of single items
-                    for dbatch in g:
+            for entries in groups:
+                for e in entries:
+                    if isinstance(e, tuple) and len(e) == 3 and e[0] == "chained":
+                        _, sb, sg = e
+                        params, state, opt_state, loss_vec = self._chained_step(
+                            params, state, opt_state, sb, sg, epoch_rng, step
+                        )
+                        losses.append(loss_vec)
+                        self.chained_dispatches += 1
+                        step += int(sg.uid.shape[0])
+                    else:  # single item (partial-group remainder)
                         rng = jax.random.fold_in(epoch_rng, step)
                         params, state, opt_state, loss = self._train_step(
-                            params, state, opt_state, dbatch, rng
+                            params, state, opt_state, e, rng
                         )
                         losses.append(loss)
                         step += 1

@@ -87,15 +87,19 @@ def test_chained_step_matches_unchained(tmp_path):
 
     rng = np.random.default_rng(4)
     rows = []
-    for s in range(60):
+    # 200 sessions -> ~25 batches at B=8: bucket runs long enough that
+    # chain=12 forms full groups AND >=8 partial runs (the sub-chain path).
+    for s in range(200):
         for t in range(int(rng.integers(3, 12))):
-            rows.append((f"s{s:02d}", t * 1000, int(rng.integers(1, 60))))
+            rows.append((f"s{s:03d}", t * 1000, int(rng.integers(1, 60))))
     df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
     edges = (rng.integers(1, 60, 150), rng.integers(1, 60, 150))
     ds = SessionDataset(df, edges)
 
     results = {}
-    for chain in (1, 4):
+    # chain=4 < SUBCHAIN exercises the singles fallback; chain=12 leaves
+    # partial groups >= 8 that run through the C=8 sub-chain path.
+    for chain in (1, 4, 12):
         model = create_model("graphsage", num_items=ds.num_items,
                              embedding_dim=16, hidden_dim=16, dropout=0.0)
         trainer = Trainer(
@@ -112,12 +116,13 @@ def test_chained_step_matches_unchained(tmp_path):
             # both chained paths must actually fire (train + eval)
             assert trainer.chained_dispatches > 0
             assert trainer.chained_eval_dispatches > 0
-    np.testing.assert_allclose(
-        results[1]["train_loss"], results[4]["train_loss"], rtol=1e-5
-    )
-    a, b = results[1]["val_metrics"][-1], results[4]["val_metrics"][-1]
-    for key in a:
-        np.testing.assert_allclose(a[key], b[key], atol=1e-9, err_msg=key)
+    for c in (4, 12):
+        np.testing.assert_allclose(
+            results[1]["train_loss"], results[c]["train_loss"], rtol=1e-5
+        )
+        a, b = results[1]["val_metrics"][-1], results[c]["val_metrics"][-1]
+        for key in a:
+            np.testing.assert_allclose(a[key], b[key], atol=1e-9, err_msg=key)
 
 
 def test_trainer_sparse_mode_matches_dense_metrics(tmp_path):
