@@ -157,9 +157,7 @@ def main() -> None:
     n_data, n_model = (int(x) for x in args.mesh.split("x"))
 
     from bench import make_batches
-    from gat_recommendation_tpu.data.batching import (
-        make_grad_index, stack_batches, stack_grad_indices,
-    )
+    from gat_recommendation_tpu.data.batching import make_grad_index
     from gat_recommendation_tpu.models import create_model
     from gat_recommendation_tpu.parallel.mesh import (
         batch_sharding, chained_batch_sharding, make_mesh, opt_state_shardings,

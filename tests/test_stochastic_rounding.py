@@ -11,7 +11,6 @@ itself — RNE freezes, SR tracks.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gat_recommendation_tpu.ops.rounding import stochastic_round_bf16
 
