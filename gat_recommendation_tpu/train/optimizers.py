@@ -34,6 +34,8 @@ class FusedEmbeddingAdamW:
         use_pallas: bool | None = None,
         moment_dtype=None,
         stochastic_rounding: bool | None = None,
+        lazy: bool = False,
+        lazy_tail_terms: int = 64,
     ):
         """moment_dtype: storage dtype for the table's mu/nu buffers.
         Default None keeps the table dtype (f32, exact reference-AdamW
@@ -49,7 +51,17 @@ class FusedEmbeddingAdamW:
         increment is 0.1% of the running value — below a bf16 ulp) and
         collapsed quality by 17 points at reference scale
         (docs/EXPERIMENTS.md); unbiased stochastic rounding recovers it.
-        Pass False only to reproduce the collapse for ablation."""
+        Pass False only to reproduce the collapse for ablation.
+
+        lazy: update only the TOUCHED embedding rows each step and apply
+        untouched rows' decay + momentum tail lazily at their next touch
+        (ops/lazy_adamw.py) — O(U·D) per step instead of the eager dense
+        [V, D] sweep (~2.9 GB of HBM traffic at the reference table).
+        Numerically ≈ exact dense AdamW (momentum-tail series truncated at
+        lazy_tail_terms; ~1e-5 weight error — tests/test_lazy_adamw.py).
+        Requires calling `materialize(params, opt_state)` before reading
+        the table outside training (eval / checkpoint) — the Trainer does
+        this automatically. Unsharded path only (mesh steps use eager)."""
         self.lr = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
@@ -67,8 +79,16 @@ class FusedEmbeddingAdamW:
                 for d in (self.mu_dtype, self.nu_dtype)
             )
         self.stochastic_rounding = stochastic_rounding
+        self.lazy = lazy
+        self.lazy_tail_terms = lazy_tail_terms
+        self._mat_jit = None
         self._rest = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                                  weight_decay=weight_decay)
+
+    @property
+    def _hparams(self) -> dict:
+        return dict(lr=self.lr, b1=self.b1, b2=self.b2, eps=self.eps,
+                    weight_decay=self.weight_decay)
 
     def _split(self, tree: dict):
         rest = {k: v for k, v in tree.items() if k != EMBEDDING_KEY}
@@ -76,12 +96,17 @@ class FusedEmbeddingAdamW:
 
     def init(self, params: dict) -> dict:
         table, rest = self._split(params)
-        return {
+        state = {
             "emb_mu": jnp.zeros(table.shape, self.mu_dtype or table.dtype),
             "emb_nu": jnp.zeros(table.shape, self.nu_dtype or table.dtype),
             "count": jnp.zeros((), jnp.int32),
             "rest": self._rest.init(rest),
         }
+        if self.lazy:
+            # Global step index at which each row was last updated; rows
+            # start "touched at step 0" (zero moments, nothing pending).
+            state["last_step"] = jnp.zeros((table.shape[0],), jnp.int32)
+        return state
 
     def update_full(self, grads: dict, state: dict, params: dict):
         """Apply the update directly: returns (new_params, new_state)."""
@@ -217,3 +242,103 @@ class FusedEmbeddingAdamW:
         new_params = {**new_rest, EMBEDDING_KEY: new_table}
         new_state = {"emb_mu": mu, "emb_nu": nu, "count": count, "rest": new_rest_state}
         return new_params, new_state
+
+    # ---- lazy mode (O(touched rows) per step — ops/lazy_adamw.py) ----
+
+    def _store_moment(self, val, stored_dtype, count, salt: int):
+        """f32 -> storage dtype; unbiased SR when storing bf16."""
+        from gat_recommendation_tpu.ops.rounding import stochastic_round_bf16
+
+        if self.stochastic_rounding and stored_dtype == jnp.bfloat16:
+            key = jax.random.fold_in(jax.random.key(20240817), count)
+            return stochastic_round_bf16(val, jax.random.fold_in(key, salt))
+        return val.astype(stored_dtype)
+
+    def gather_catch_up(self, params: dict, state: dict, uid: jax.Array):
+        """Gather the touched rows and apply their pending lazy updates.
+
+        Returns (w_c, mu_c, nu_c) [U, D] f32 — the values dense AdamW would
+        hold at step `count - 1` (i.e. BEFORE this step's gradient), so the
+        forward pass sees exactly the dense-trajectory weights. Sentinel
+        uid slots clamp-gather garbage rows; their scatters are dropped in
+        update_sparse_lazy, so they only waste lanes, never correctness.
+        """
+        from gat_recommendation_tpu.ops import lazy_adamw as la
+
+        count = state["count"] + 1
+        ls = state["last_step"][uid]
+        m = jnp.maximum(count - 1 - ls, 0)
+        return la.catch_up(
+            params[EMBEDDING_KEY][uid],
+            state["emb_mu"][uid].astype(jnp.float32),
+            state["emb_nu"][uid].astype(jnp.float32),
+            ls, m, tail_terms=self.lazy_tail_terms, **self._hparams,
+        )
+
+    def update_sparse_lazy(self, g_rest: dict, uid: jax.Array, summed: jax.Array,
+                           w_c, mu_c, nu_c, state: dict, params: dict):
+        """Scatter this step's update back for the touched rows only.
+
+        (w_c, mu_c, nu_c) come from gather_catch_up on the SAME uid; summed
+        is the per-unique-row gradient (sentinel slots zero). Only the uid
+        rows of table/moments are written (mode="drop" ignores sentinels);
+        last_step[uid] advances to `count`.
+        """
+        from gat_recommendation_tpu.ops import lazy_adamw as la
+
+        table, p_rest = self._split(params)
+        count = state["count"] + 1
+        w, mu, nu = la.touched_update(
+            w_c, mu_c, nu_c, summed, count, **self._hparams
+        )
+        new_table = table.at[uid].set(w, mode="drop")
+        new_mu = state["emb_mu"].at[uid].set(
+            self._store_moment(mu, state["emb_mu"].dtype, count, 0), mode="drop"
+        )
+        new_nu = state["emb_nu"].at[uid].set(
+            self._store_moment(nu, state["emb_nu"].dtype, count, 1), mode="drop"
+        )
+        new_last = state["last_step"].at[uid].set(count, mode="drop")
+
+        upd, new_rest_state = self._rest.update(g_rest, state["rest"], p_rest)
+        new_rest = optax.apply_updates(p_rest, upd)
+        new_params = {**new_rest, EMBEDDING_KEY: new_table}
+        new_state = {"emb_mu": new_mu, "emb_nu": new_nu, "count": count,
+                     "rest": new_rest_state, "last_step": new_last}
+        return new_params, new_state
+
+    def materialize(self, params: dict, state: dict):
+        """Catch EVERY row up to the current step (one dense pass).
+
+        Must run before the table is read outside training — eval,
+        checkpoint, best-snapshot — so stored weights equal the dense-AdamW
+        trajectory. Idempotent; no-op for non-lazy optimizers. The Trainer
+        calls this automatically at its eval/save points.
+        """
+        if not self.lazy:
+            return params, state
+        if self._mat_jit is None:
+            from gat_recommendation_tpu.ops import lazy_adamw as la
+
+            def impl(table, mu, nu, last, count):
+                w, mu_f, nu_f, new_last = la.materialize_arrays(
+                    table, mu.astype(jnp.float32), nu.astype(jnp.float32),
+                    last, count, tail_terms=self.lazy_tail_terms,
+                    **self._hparams,
+                )
+                return (
+                    w,
+                    self._store_moment(mu_f, mu.dtype, count, 0),
+                    self._store_moment(nu_f, nu.dtype, count, 1),
+                    new_last,
+                )
+
+            self._mat_jit = jax.jit(impl)
+        table, mu, nu, last = self._mat_jit(
+            params[EMBEDDING_KEY], state["emb_mu"], state["emb_nu"],
+            state["last_step"], state["count"],
+        )
+        return (
+            {**params, EMBEDDING_KEY: table},
+            {**state, "emb_mu": mu, "emb_nu": nu, "last_step": last},
+        )

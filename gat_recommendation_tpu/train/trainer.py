@@ -108,11 +108,30 @@ def _sparse_step_body(model, loss_fn, optimizer, mesh=None) -> Callable:
     chained lax.scan variant, and (with mesh) the sharded equivalents in
     parallel/steps.py — one body, four dispatch wrappers."""
 
+    lazy = getattr(optimizer, "lazy", False)
+    assert not (lazy and mesh is not None), (
+        "lazy AdamW is unsharded-only — the mesh steps use the eager "
+        "sharded kernel (ops/pallas/sparse_adamw.py)"
+    )
+
     def body(params, state, opt_state, batch, gidx, rng):
         B, N = batch.node_ids.shape
         K = batch.negatives.shape[1]
         table = jax.lax.stop_gradient(params["item_embedding"])
-        rows0 = table[gidx.ids]
+        if lazy:
+            # O(U) gather + pending-update catch-up (ops/lazy_adamw.py):
+            # the forward reads exactly the dense-trajectory weights at
+            # count-1, gathered once per unique row and remapped to the R
+            # duplicate slots (inverse of the host-sorted permutation).
+            w_c, mu_c, nu_c = jax.lax.stop_gradient(
+                optimizer.gather_catch_up(params, opt_state, gidx.uid)
+            )
+            u_of_r = (
+                jnp.zeros(gidx.ids.shape, jnp.int32).at[gidx.perm].set(gidx.seg)
+            )
+            rows0 = w_c[u_of_r]
+        else:
+            rows0 = table[gidx.ids]
         other = {k_: v for k_, v in params.items() if k_ != "item_embedding"}
 
         def loss_inner(other_params, rows):
@@ -141,9 +160,14 @@ def _sparse_step_body(model, loss_fn, optimizer, mesh=None) -> Callable:
             num_segments=gidx.uid.shape[0], indices_are_sorted=True,
         )
         summed = jnp.where((gidx.uid == 0)[:, None], 0.0, summed)
-        new_params, new_opt_state = optimizer.update_sparse(
-            g_other, gidx.uid, summed, opt_state, params, mesh=mesh
-        )
+        if lazy:
+            new_params, new_opt_state = optimizer.update_sparse_lazy(
+                g_other, gidx.uid, summed, w_c, mu_c, nu_c, opt_state, params
+            )
+        else:
+            new_params, new_opt_state = optimizer.update_sparse(
+                g_other, gidx.uid, summed, opt_state, params, mesh=mesh
+            )
         return new_params, new_state, new_opt_state, loss
 
     return body
@@ -588,6 +612,13 @@ class Trainer:
         masks.append(np.asarray(meta.sample_mask if meta is not None else batch.sample_mask))
         targets.append(np.asarray(meta.targets if meta is not None else batch.targets))
 
+    def _materialize(self, params, opt_state):
+        """Flush the lazy optimizer's pending per-row updates (no-op
+        otherwise) — see FusedEmbeddingAdamW.materialize."""
+        if getattr(self.optimizer, "lazy", False):
+            params, opt_state = self.optimizer.materialize(params, opt_state)
+        return params, opt_state
+
     def evaluate(self, params, state) -> dict:
         # Keep per-batch top-k on device; one concatenated readback at the
         # end (per-batch readbacks serialize the pipeline).
@@ -737,6 +768,11 @@ class Trainer:
             )
 
             if (epoch + 1) % self.eval_every == 0:
+                # Lazy AdamW defers untouched rows' decay/momentum-tail to
+                # their next touch; flush all pending updates so eval,
+                # best-snapshot, and checkpoints see the dense-trajectory
+                # table (no-op for eager optimizers).
+                params, opt_state = self._materialize(params, opt_state)
                 val_metrics = self.evaluate(params, state)
                 self.history["val_metrics"].append(val_metrics)
                 logger.info(
@@ -784,6 +820,7 @@ class Trainer:
         # epoch no matter how eval_every / checkpoint_every / max_epochs
         # interact (e.g. eval_every=2, max_epochs=9 never evals epoch 8).
         if trained_this_call and self._latest_saved_epoch != self.current_epoch:
+            params, opt_state = self._materialize(params, opt_state)
             self.save_checkpoint(params, state, opt_state, is_best=False, save_latest=True)
             self._latest_saved_epoch = self.current_epoch
 
