@@ -68,7 +68,8 @@ def make_corpus(num_sessions: int, num_items: int = NUM_ITEMS, seed: int = 0):
     return ds, stats
 
 
-def make_training(num_items: int = NUM_ITEMS, mesh=None, bf16_moments: bool = False):
+def make_training(num_items: int = NUM_ITEMS, mesh=None, bf16_moments: bool = False,
+                  lazy: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def make_training(num_items: int = NUM_ITEMS, mesh=None, bf16_moments: bool = Fa
     optimizer = FusedEmbeddingAdamW(
         1e-3, weight_decay=1e-5,  # auto: Pallas on TPU
         moment_dtype=moment_dtype,
+        lazy=lazy,  # O(touched rows)/step — ops/lazy_adamw.py
     )
     opt_state = optimizer.init(params)
     if mesh is not None:
@@ -129,7 +131,7 @@ def make_training(num_items: int = NUM_ITEMS, mesh=None, bf16_moments: bool = Fa
 
 def main_e2e(
     num_sessions: int, workers: int, epochs_long: int, chain: int = 1, mesh_shape=None,
-    bf16_moments: bool = False,
+    bf16_moments: bool = False, lazy: bool = False, transfer_workers: int = 2,
 ) -> dict:
     import jax
 
@@ -154,7 +156,7 @@ def main_e2e(
 
         mesh = make_mesh(*mesh_shape)
     model, params, state, opt_state, step, chained_step = make_training(
-        mesh=mesh, bf16_moments=bf16_moments
+        mesh=mesh, bf16_moments=bf16_moments, lazy=lazy
     )
     rng = jax.random.key(0)
 
@@ -196,7 +198,8 @@ def main_e2e(
                 # round-trip amortization that closes the e2e gap
                 # (docs/PERFORMANCE.md 'Step chaining').
                 for entries in prefetch_to_device(
-                    chain_iterator(raw, chain), size=4, transfer=transfer_group
+                    chain_iterator(raw, chain), size=4, transfer=transfer_group,
+                    transfer_workers=transfer_workers,
                 ):
                     for e in entries:
                         if isinstance(e, tuple) and len(e) == 3 and e[0] == "chained":
@@ -212,7 +215,10 @@ def main_e2e(
                             )
                             nsteps += 1
             else:
-                for db in prefetch_to_device(raw, size=4, transfer=transfer):
+                for db in prefetch_to_device(
+                    raw, size=4, transfer=transfer,
+                    transfer_workers=transfer_workers,
+                ):
                     params, state, opt_state, loss = step(
                         params, state, opt_state, db, jax.random.fold_in(rng, nsteps)
                     )
@@ -232,7 +238,8 @@ def main_e2e(
     return {
         "metric": "train_sessions_per_sec_per_chip_e2e"
         + (f"_mesh{mesh_shape[0]}x{mesh_shape[1]}" if mesh_shape else "")
-        + (f"_bf16mom_{bf16_moments}" if bf16_moments else ""),
+        + (f"_bf16mom_{bf16_moments}" if bf16_moments else "")
+        + ("_lazy" if lazy else ""),
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -283,13 +290,13 @@ def make_batches(num_items: int, batch_size: int, num_batches: int, seed: int = 
     return batches
 
 
-def main_device() -> dict:
+def main_device(lazy: bool = False) -> dict:
     """Device-only step rate: pre-staged batches, no host pipeline."""
     import jax
 
     from gat_recommendation_tpu.data.batching import make_grad_index, to_device
 
-    model, params, state, opt_state, step, _chained = make_training()
+    model, params, state, opt_state, step, _chained = make_training(lazy=lazy)
     dev_batches = [
         (to_device(hb), make_grad_index(hb))
         for hb in make_batches(NUM_ITEMS, BATCH_SIZE, 12)
@@ -323,7 +330,7 @@ def main_device() -> dict:
     per_step = sum(deltas) / len(deltas)
     sessions_per_sec = BATCH_SIZE / per_step
     return {
-        "metric": "train_sessions_per_sec_per_chip",
+        "metric": "train_sessions_per_sec_per_chip" + ("_lazy" if lazy else ""),
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -354,13 +361,20 @@ def main():
                    help="DATAxMODEL (e.g. 1x1, 4x2): run e2e through the "
                         "mesh-sharded steps; 1x1 measures sharding overhead "
                         "on one real chip")
+    p.add_argument("--lazy", action="store_true",
+                   help="lazy catch-up AdamW: O(touched rows) per step "
+                        "instead of the eager dense [V, D] optimizer sweep "
+                        "(ops/lazy_adamw.py; ~exact dense-AdamW semantics)")
+    p.add_argument("--transfer-workers", type=int, default=2,
+                   help="parallel host->device transfer threads (relay "
+                        "device_put round trips serialize on one thread)")
     args = p.parse_args()
     mesh_shape = tuple(int(x) for x in args.mesh.split("x")) if args.mesh else None
     result = (
-        main_device()
+        main_device(args.lazy)
         if args.device
         else main_e2e(args.sessions, args.workers, args.epochs, args.chain, mesh_shape,
-                      args.bf16_moments)
+                      args.bf16_moments, args.lazy, args.transfer_workers)
     )
     detail = result.pop("_detail", None)
     if detail is not None:

@@ -22,6 +22,7 @@ Design:
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import queue
 import threading
@@ -123,11 +124,19 @@ def to_device(batch: SessionBatch, device=None) -> SessionBatch:
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), device), batch)
 
 
-def prefetch_to_device(iterator, size: int = 2, transfer=to_device):
+def prefetch_to_device(iterator, size: int = 2, transfer=to_device,
+                       transfer_workers: int = 1):
     """Iterate `iterator`, transferring `size` batches ahead on a background
     thread so host batch assembly and host->device copies overlap device
     compute (the reference relies on torch DataLoader workers for the same
     overlap, dataloader.py:235-241).
+
+    transfer_workers > 1 runs the `transfer` calls on a thread pool while a
+    futures queue preserves iterator order. Through a remote-TPU relay each
+    device_put blocks its thread on an RPC round trip, so a single transfer
+    thread SERIALIZES consecutive groups' transfers against each other —
+    measured at the bench corpus this hid ~0.2 s/epoch behind one thread
+    (docs/PERFORMANCE.md 'Host input pipeline').
 
     If the consumer abandons the generator early (break / exception / GC),
     a `stop` event set from the generator's close() unblocks the worker —
@@ -137,14 +146,21 @@ def prefetch_to_device(iterator, size: int = 2, transfer=to_device):
     sentinel = object()
     error: list[BaseException] = []
     stop = threading.Event()
+    pool = (
+        concurrent.futures.ThreadPoolExecutor(max_workers=transfer_workers)
+        if transfer_workers > 1
+        else None
+    )
 
     def worker():
         try:
             for item in iterator:
-                item = transfer(item)
+                # pool mode: submit (non-blocking) and enqueue the future —
+                # transfer errors surface at .result() in the consumer.
+                payload = pool.submit(transfer, item) if pool else transfer(item)
                 while not stop.is_set():
                     try:
-                        q.put(item, timeout=0.1)
+                        q.put(payload, timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -169,7 +185,7 @@ def prefetch_to_device(iterator, size: int = 2, transfer=to_device):
                 if error:
                     raise error[0]
                 return
-            yield item
+            yield item.result() if pool else item
     finally:
         # Reached on close()/GC of a part-consumed generator: release the
         # worker and drain so its pinned device batches drop promptly.
@@ -179,6 +195,8 @@ def prefetch_to_device(iterator, size: int = 2, transfer=to_device):
                 q.get_nowait()
             except queue.Empty:
                 break
+        if pool:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,11 @@ def parse_args():
                         "with stochastic rounding (halves moment HBM traffic; "
                         "quality measured in docs/PERFORMANCE.md). Optional "
                         "value narrows only one buffer (attribution study)")
+    p.add_argument("--lazy-adamw", action="store_true",
+                   help="lazy catch-up AdamW for the embedding table: "
+                        "O(touched rows)/step instead of the dense [V, D] "
+                        "optimizer sweep (ops/lazy_adamw.py; ~exact dense-"
+                        "AdamW semantics, unsharded path only)")
     p.add_argument("--no-sr-moments", action="store_true",
                    help="ablation: bf16 moments with round-to-nearest instead "
                         "of stochastic rounding (reproduces the r4 quality "
@@ -226,7 +231,10 @@ def main() -> None:
             args.lr, weight_decay=args.weight_decay,
             moment_dtype=moment_dtype,
             stochastic_rounding=False if args.no_sr_moments else None,
+            lazy=args.lazy_adamw,
         )
+        if args.lazy_adamw:
+            assert not use_mesh, "--lazy-adamw is unsharded-only (use --no-mesh)"
     else:
         optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
 

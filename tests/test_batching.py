@@ -92,6 +92,44 @@ def test_prefetch_abandoned_generator_stops_worker():
     assert len(produced) < 100  # worker stopped early, didn't drain the source
 
 
+def test_prefetch_pooled_transfers_preserve_order_and_errors():
+    """transfer_workers > 1 runs transfers concurrently but must yield in
+    iterator order, propagate transfer exceptions, and not leak threads."""
+    import threading
+    import time
+
+    from gat_recommendation_tpu.data.batching import prefetch_to_device
+
+    out = list(
+        prefetch_to_device(
+            iter(range(50)), size=4,
+            transfer=lambda x: (time.sleep(0.001 * (x % 3)), x * 2)[1],
+            transfer_workers=3,
+        )
+    )
+    assert out == [x * 2 for x in range(50)]
+
+    def bad_transfer(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x
+
+    gen = prefetch_to_device(iter(range(10)), size=2, transfer=bad_transfer,
+                             transfer_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(gen)
+
+    before = threading.active_count()
+    gen = prefetch_to_device(iter(range(100)), size=2, transfer=lambda x: x,
+                             transfer_workers=2)
+    assert next(gen) == 0
+    gen.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before, "pooled prefetch leaked threads"
+
+
 def test_pick_bucket():
     assert pick_bucket(3, DEFAULT_BUCKETS) == 8
     assert pick_bucket(8, DEFAULT_BUCKETS) == 8
