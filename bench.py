@@ -239,7 +239,7 @@ def main_e2e(
         "metric": "train_sessions_per_sec_per_chip_e2e"
         + (f"_mesh{mesh_shape[0]}x{mesh_shape[1]}" if mesh_shape else "")
         + (f"_bf16mom_{bf16_moments}" if bf16_moments else "")
-        + ("_lazy" if lazy else ""),
+        + ("" if lazy else "_eager"),  # lazy = the default (exact semantics)
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -252,6 +252,8 @@ def main_e2e(
             "t_long": round(t_long, 2),
             "workers": workers,
             "chain": chain,
+            "lazy": lazy,
+            "transfer_workers": transfer_workers,
             "corpus_setup_s": round(setup_s, 1),
         },
     }
@@ -330,7 +332,7 @@ def main_device(lazy: bool = False) -> dict:
     per_step = sum(deltas) / len(deltas)
     sessions_per_sec = BATCH_SIZE / per_step
     return {
-        "metric": "train_sessions_per_sec_per_chip" + ("_lazy" if lazy else ""),
+        "metric": "train_sessions_per_sec_per_chip" + ("" if lazy else "_eager"),
         "value": round(sessions_per_sec, 1),
         "unit": "sessions/s",
         "vs_baseline": round(sessions_per_sec / BASELINE_SESSIONS_PER_SEC, 2),
@@ -361,11 +363,14 @@ def main():
                    help="DATAxMODEL (e.g. 1x1, 4x2): run e2e through the "
                         "mesh-sharded steps; 1x1 measures sharding overhead "
                         "on one real chip")
-    p.add_argument("--lazy", action="store_true",
+    p.add_argument("--lazy", action=argparse.BooleanOptionalAction, default=True,
                    help="lazy catch-up AdamW: O(touched rows) per step "
                         "instead of the eager dense [V, D] optimizer sweep "
-                        "(ops/lazy_adamw.py; ~exact dense-AdamW semantics)")
-    p.add_argument("--transfer-workers", type=int, default=2,
+                        "(ops/lazy_adamw.py; ~exact dense-AdamW semantics — "
+                        "equivalence + reference-scale quality in "
+                        "docs/EXPERIMENTS.md). --no-lazy restores the eager "
+                        "sweep (the r1-r4 official config)")
+    p.add_argument("--transfer-workers", type=int, default=3,
                    help="parallel host->device transfer threads (relay "
                         "device_put round trips serialize on one thread)")
     args = p.parse_args()
