@@ -61,7 +61,9 @@ class FusedEmbeddingAdamW:
         lazy_tail_terms; ~1e-5 weight error — tests/test_lazy_adamw.py).
         Requires calling `materialize(params, opt_state)` before reading
         the table outside training (eval / checkpoint) — the Trainer does
-        this automatically. Unsharded path only (mesh steps use eager)."""
+        this automatically. Works under a mesh too: GSPMD partitions the
+        same body (table/moments row-sharded, last_step replicated;
+        equivalence pinned by tests/test_parallel.py)."""
         self.lr = learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay

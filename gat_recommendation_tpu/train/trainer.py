@@ -109,10 +109,6 @@ def _sparse_step_body(model, loss_fn, optimizer, mesh=None) -> Callable:
     parallel/steps.py — one body, four dispatch wrappers."""
 
     lazy = getattr(optimizer, "lazy", False)
-    assert not (lazy and mesh is not None), (
-        "lazy AdamW is unsharded-only — the mesh steps use the eager "
-        "sharded kernel (ops/pallas/sparse_adamw.py)"
-    )
 
     def body(params, state, opt_state, batch, gidx, rng):
         B, N = batch.node_ids.shape

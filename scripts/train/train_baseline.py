@@ -86,7 +86,7 @@ def parse_args():
                    help="lazy catch-up AdamW for the embedding table: "
                         "O(touched rows)/step instead of the dense [V, D] "
                         "optimizer sweep (ops/lazy_adamw.py; ~exact dense-"
-                        "AdamW semantics, unsharded path only)")
+                        "AdamW semantics; works sharded under --mesh too)")
     p.add_argument("--no-sr-moments", action="store_true",
                    help="ablation: bf16 moments with round-to-nearest instead "
                         "of stochastic rounding (reproduces the r4 quality "
@@ -233,8 +233,6 @@ def main() -> None:
             stochastic_rounding=False if args.no_sr_moments else None,
             lazy=args.lazy_adamw,
         )
-        if args.lazy_adamw:
-            assert not use_mesh, "--lazy-adamw is unsharded-only (use --no-mesh)"
     else:
         optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
 

@@ -169,6 +169,74 @@ def test_sharded_sparse_step_matches_single_device(mesh_shape):
     )
 
 
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_lazy_step_matches_single_device(mesh_shape):
+    """Lazy catch-up AdamW under GSPMD: the same O(touched rows) body jits
+    over the mesh (table/moments row-sharded, last_step replicated) and
+    matches the single-device lazy step across steps with CHANGING touch
+    sets (so cross-shard catch-up gathers actually happen), including after
+    materialize()."""
+    from gat_recommendation_tpu.parallel import make_sharded_sparse_train_step
+    from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
+    from gat_recommendation_tpu.train.trainer import make_sparse_train_step
+
+    model = create_model(
+        "graph_transformer_optimized",
+        num_items=104, embedding_dim=16, hidden_dim=16, laplacian_k=4, dropout=0.0,
+    )
+    params, state = model.init_params(jax.random.key(0))
+    state = model.precompute_pe(state, np.arange(1, 40), np.arange(2, 41))
+    from gat_recommendation_tpu.data.batching import to_device
+
+    def other_batch8(seed):
+        rng = np.random.default_rng(seed)
+        samples = []
+        for _ in range(8):
+            n = int(rng.integers(2, 6))
+            nodes = np.sort(
+                rng.choice(np.arange(1, 104), size=n, replace=False)
+            ).astype(np.int32)
+            m = int(rng.integers(1, n * n))
+            samples.append({
+                "nodes": nodes,
+                "edge_src": rng.integers(0, n, m).astype(np.int32),
+                "edge_dst": rng.integers(0, n, m).astype(np.int32),
+                "target": int(rng.integers(1, 104)),
+                "negatives": rng.integers(1, 104, 5).astype(np.int32),
+            })
+        return collate(samples, 8, 5)
+
+    batches = [make_batch8(), other_batch8(11), other_batch8(23)]
+
+    opt_a = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False, lazy=True)
+    single = make_sparse_train_step(model, dual_loss, opt_a)
+    p1, s1, o1 = params, state, opt_a.init(params)
+
+    mesh = make_mesh(*mesh_shape)
+    opt_b = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, use_pallas=False, lazy=True)
+    p2, s2, o2 = shard_params(params, state, opt_b.init(params), mesh)
+    sharded = make_sharded_sparse_train_step(model, dual_loss, opt_b, mesh)
+
+    for i, b in enumerate(batches * 2):
+        rng = jax.random.key(100 + i)
+        p1, s1, o1, loss1 = single(p1, s1, o1, to_device(b), rng)
+        p2, s2, o2, loss2 = sharded(p2, s2, o2, shard_batch(b, mesh), rng)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+    p1, o1 = opt_a.materialize(p1, o1)
+    p2, o2 = opt_b.materialize(p2, o2)
+    np.testing.assert_allclose(
+        np.asarray(p1["item_embedding"]), np.asarray(p2["item_embedding"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1["emb_mu"]), np.asarray(o2["emb_mu"]), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["last_step"]), np.asarray(o2["last_step"])
+    )
+
+
 def test_fused_optimizer_moments_row_sharded():
     from gat_recommendation_tpu.parallel.mesh import opt_state_shardings, param_shardings
     from gat_recommendation_tpu.train.optimizers import FusedEmbeddingAdamW
