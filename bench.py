@@ -350,7 +350,10 @@ def main():
     p.add_argument("--device", action="store_true", help="device-only step rate")
     p.add_argument("--sessions", type=int, default=120_436)
     p.add_argument("--workers", type=int, default=3)
-    p.add_argument("--epochs", type=int, default=3, help="slope window (e2e)")
+    # 6-epoch slope window: with the lazy step an epoch is ~0.55 s, so a
+    # 3-epoch window left only ~1.6 s of signal against ~0.2 s of relay
+    # timing noise; 6 epochs doubles the signal for ~2 s of extra runtime.
+    p.add_argument("--epochs", type=int, default=6, help="slope window (e2e)")
     p.add_argument("--chain", type=int, default=32,
                    help="optimizer steps per dispatch (lax.scan; 1 = unchained)")
     p.add_argument("--bf16-moments", nargs="?", const="both", default=None,

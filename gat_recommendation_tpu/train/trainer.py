@@ -284,6 +284,7 @@ class Trainer:
         chain: int = 1,
         defer_best: bool = True,
         record_hits: bool = False,
+        transfer_workers: int = 1,
     ):
         from gat_recommendation_tpu.train.losses import bpr_loss
 
@@ -313,6 +314,9 @@ class Trainer:
         self.loss_fn = loss_fn or bpr_loss  # model default loss is BPR (base.py:80-113)
         self.seed = seed
         self.record_hits = record_hits
+        # >1 overlaps consecutive host->device transfers (each device_put
+        # blocks its thread on a relay RPC — data/batching.prefetch_to_device)
+        self.transfer_workers = transfer_workers
         self.mesh = mesh
         self.chain = 1  # raised below (sparse paths; multi-host excluded)
 
@@ -549,6 +553,7 @@ class Trainer:
                 chain_iterator(self.train_batches(self.current_epoch), self.chain),
                 size=2,
                 transfer=self._transfer_chain,
+                transfer_workers=self.transfer_workers,
             )
             step = 0
             for entries in groups:
@@ -570,7 +575,8 @@ class Trainer:
                         step += 1
         else:
             batches = prefetch_to_device(
-                self.train_batches(self.current_epoch), size=2, transfer=self._transfer
+                self.train_batches(self.current_epoch), size=2, transfer=self._transfer,
+                transfer_workers=self.transfer_workers,
             )
             for step, dbatch in enumerate(batches):
                 rng = jax.random.fold_in(epoch_rng, step)

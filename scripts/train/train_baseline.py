@@ -64,6 +64,10 @@ def parse_args():
                    help="sparse embedding gradients + fused AdamW (2.5x faster on "
                         "TPU, same math — docs/PERFORMANCE.md); --no-sparse-grads "
                         "uses the dense optax step")
+    p.add_argument("--transfer-workers", type=int, default=2,
+                   help="parallel host->device transfer threads (each "
+                        "device_put blocks its thread on a relay RPC round "
+                        "trip — docs/PERFORMANCE.md)")
     p.add_argument("--workers", type=int, default=3,
                    help="host batch-assembly threads (C++ engine releases the GIL)")
     p.add_argument("--chain", type=int, default=32,
@@ -270,6 +274,7 @@ def main() -> None:
         chain=args.chain,  # sharded chaining: parallel/steps.py (multi-host
         # runs fall back to unchained steps, logged by the Trainer)
         record_hits=args.record_hits,
+        transfer_workers=args.transfer_workers,
     )
 
     params, state, opt_state = trainer.init_state()
