@@ -152,6 +152,9 @@ def main() -> None:
     p.add_argument("--mesh", default="4x2", help="DATAxMODEL, e.g. 4x2")
     p.add_argument("--num-items", type=int, default=NUM_ITEMS)
     p.add_argument("--chain", type=int, default=CHAIN)
+    p.add_argument("--lazy", action="store_true",
+                   help="account the lazy catch-up AdamW body "
+                        "(ops/lazy_adamw.py) instead of the eager sweep")
     p.add_argument("--out", default="outputs/collective_accounting.json")
     args = p.parse_args()
     n_data, n_model = (int(x) for x in args.mesh.split("x"))
@@ -175,7 +178,7 @@ def main() -> None:
     # Shapes only — nothing is materialized or executed; .lower() accepts
     # ShapeDtypeStructs everywhere.
     params, state = jax.eval_shape(model.init_params, jax.random.key(0))
-    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5)
+    optimizer = FusedEmbeddingAdamW(1e-3, weight_decay=1e-5, lazy=args.lazy)
     opt_state = jax.eval_shape(optimizer.init, params)
 
     hb = make_batches(args.num_items, BATCH, 1, seed=0)[0]
