@@ -176,6 +176,51 @@ def test_lazy_padding_row_stays_zero():
     assert float(jnp.abs(params["item_embedding"][0]).sum()) == 0.0
 
 
+def test_lazy_resume_matches_uninterrupted(tmp_path):
+    """Checkpoint/resume round-trip under lazy: train 2 epochs, resume from
+    checkpoint_latest, train 2 more — the loss trajectory must match a
+    4-epoch uninterrupted lazy run (last_step is saved MATERIALIZED, so
+    resumed catch-up ages stay aligned with the restored count)."""
+    import pandas as pd
+
+    from gat_recommendation_tpu.data.batching import SessionDataset, iterate_batches
+    from gat_recommendation_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for s in range(80):
+        for t in range(int(rng.integers(3, 9))):
+            rows.append((f"s{s:03d}", t * 1000, int(rng.integers(1, 50))))
+    df = pd.DataFrame(rows, columns=["session_id", "timestamp", "itemid"])
+    ds = SessionDataset(df, (rng.integers(1, 50, 120), rng.integers(1, 50, 120)))
+
+    def make_trainer(out, max_epochs):
+        model = create_model("graphsage", num_items=ds.num_items,
+                             embedding_dim=16, hidden_dim=16, dropout=0.0)
+        return Trainer(
+            model,
+            train_batches=lambda e: iterate_batches(ds, 8, shuffle=True, seed=e),
+            val_batches=lambda: iterate_batches(ds, 8),
+            optimizer=FusedEmbeddingAdamW(1e-3, weight_decay=1e-5,
+                                          use_pallas=False, lazy=True),
+            output_dir=out,
+            max_epochs=max_epochs, eval_every=1,
+            sparse_embedding_grads=True,
+        )
+
+    straight = make_trainer(tmp_path / "straight", 4).train()
+
+    make_trainer(tmp_path / "resumed", 2).train()
+    resumed = make_trainer(tmp_path / "resumed", 4).train(resume=True)
+
+    np.testing.assert_allclose(
+        straight["train_loss"], resumed["train_loss"], rtol=1e-4
+    )
+    a, b = straight["val_metrics"][-1], resumed["val_metrics"][-1]
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], atol=2 / 80 + 1e-9, err_msg=key)
+
+
 def test_trainer_lazy_matches_eager_metrics(tmp_path):
     """Trainer-level: lazy + chained dispatch trains to the same metrics as
     the eager sparse path, and the saved checkpoints hold the MATERIALIZED
